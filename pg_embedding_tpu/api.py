@@ -1,0 +1,366 @@
+"""HnswIndex — the user-facing API, replacing the SQL surface + index AM.
+
+Maps the reference's lifecycle onto a Python/JAX object (reference entry
+points in parentheses):
+
+  HnswIndex(config)            CREATE INDEX ... USING hnsw WITH (...)
+  .build(vectors, labels)      ambuild / hnsw_build        (embedding.c:503)
+  .add(vectors, labels)        aminsert / hnsw_insert      (embedding.c:556)
+  .search(queries, k)          amgettuple + progressive ef-doubling
+                                                           (embedding.c:284-366)
+  .delete(labels)              ambulkdelete tombstones     (embedding.c:883-944)
+  .vacuum()                    amvacuumcleanup stats       (embedding.c:867-878)
+  .exact_search(queries, k)    seq-scan ORDER BY oracle    (embedding.c:1022-1038)
+  .save(path) / .load(path)    page durability + metadata guard
+                                                           (embedding.c:594-602)
+
+Labels are opaque uint64 user ids (the heap-TID analog, embedding.c:50-56)
+kept on the host; device search returns internal node ids which are mapped to
+labels at the very end, exactly where searchKnn does (hnswalg.cpp:243-246).
+Tombstoned nodes remain graph waypoints but are filtered from results
+(hnswalg.cpp:245); space is never reclaimed (matching VACUUM semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HnswConfig, Metric, resolve_metric
+from .core.build import build_schedule, insert_batch_masked
+from .core.graph import GraphState, empty_graph, grow_graph
+from .core.search import search_graph
+from .ops.bruteforce import exact_search as _bruteforce
+
+_SAVE_FORMAT_VERSION = 1
+
+
+class HnswIndex:
+    """Flat-NSW approximate nearest neighbor index on TPU."""
+
+    def __init__(self, config: HnswConfig, *,
+                 initial_capacity: int = 1024,
+                 max_insert_batch: int = 128) -> None:
+        self.config = config
+        self.max_insert_batch = int(max_insert_batch)
+        self._graph = empty_graph(initial_capacity, config.dims,
+                                  config.max_m)
+        self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
+        # host-side mirror of graph.n_nodes: reading the device scalar would
+        # force a device sync (and drain the async dispatch pipeline), so the
+        # API tracks the count itself — the device scalar is for kernels.
+        self._count = 0
+        # observability counters (the reference has none beyond n_inserted,
+        # embedding.c:69; SURVEY.md §5 asks us to close that gap)
+        self.counters: Dict[str, int] = {
+            "n_inserted": 0, "n_deleted": 0, "n_searches": 0,
+            "n_hops": 0, "n_dist_evals": 0, "n_widenings": 0,
+        }
+
+    # ------------------------------------------------------------------ #
+    # introspection
+    # ------------------------------------------------------------------ #
+
+    @property
+    def n_nodes(self) -> int:
+        return self._count
+
+    @property
+    def graph(self) -> GraphState:
+        return self._graph
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self._labels[: self.n_nodes]
+
+    def __len__(self) -> int:
+        return self.n_nodes
+
+    # ------------------------------------------------------------------ #
+    # insert paths
+    # ------------------------------------------------------------------ #
+
+    def _check_dims(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.shape[1] != self.config.dims:
+            # analog of "Wrong number of dimensions" (embedding.c:179,581)
+            raise ValueError(
+                f"wrong number of dimensions: {vectors.shape[1]} instead of "
+                f"{self.config.dims} expected")
+        return vectors
+
+    def _ensure_capacity(self, n_new: int) -> None:
+        # one extra batch of slack: a masked tail batch stages a full
+        # batch-width vector slice, which must stay inside the array
+        # (dynamic_update_slice clamps out-of-bounds starts)
+        need = self.n_nodes + n_new + self.max_insert_batch
+        cap = self._graph.capacity
+        if need > cap:
+            new_cap = max(need, cap * 2)
+            self._graph = grow_graph(self._graph, new_cap)
+            grown = np.zeros(self._graph.capacity, dtype=np.uint64)
+            grown[: len(self._labels)] = self._labels
+            self._labels = grown
+
+    def add(self, vectors, labels=None) -> np.ndarray:
+        """Incremental insert (aminsert analog). Returns assigned node ids.
+
+        NULL-vector rows are the caller's problem here (the reference skips
+        SQL NULLs before reaching the insert path, embedding.c:171-173).
+        """
+        vectors = self._check_dims(vectors)
+        n = vectors.shape[0]
+        if labels is None:
+            labels = np.arange(self.n_nodes, self.n_nodes + n,
+                               dtype=np.uint64)
+        else:
+            labels = np.asarray(labels, dtype=np.uint64).reshape(-1)
+            if labels.shape[0] != n:
+                raise ValueError("labels/vectors length mismatch")
+        self._ensure_capacity(n)
+
+        base = self.n_nodes
+        cfg = self.config
+        b = self.max_insert_batch
+        for off, cnt in build_schedule(n, b):
+            # fixed batch shape + traced n_insert => one compile per capacity
+            chunk = np.zeros((b, cfg.dims), np.float32)
+            chunk[:cnt] = vectors[off: off + cnt]
+            self._graph = insert_batch_masked(
+                self._graph, jnp.asarray(chunk), jnp.int32(cnt),
+                ef_construction=cfg.ef_construction,
+                m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value)
+        self._count = base + n
+        self._labels[base: base + n] = labels
+        self.counters["n_inserted"] += n
+        return np.arange(base, base + n, dtype=np.int64)
+
+    def build(self, vectors, labels=None) -> None:
+        """Bulk build (ambuild analog): preallocates capacity for the whole
+        corpus up front (the unlogged-build analog, embedding.c:503-551)."""
+        vectors = self._check_dims(vectors)
+        if self.n_nodes != 0:
+            raise RuntimeError("build() requires an empty index; use add()")
+        self._graph = empty_graph(
+            max(vectors.shape[0] + self.max_insert_batch, 32),
+            self.config.dims, self.config.max_m)
+        self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
+        self._count = 0
+        self.add(vectors, labels)
+
+    # ------------------------------------------------------------------ #
+    # search paths
+    # ------------------------------------------------------------------ #
+
+    def _bucket_ef(self, ef: int) -> int:
+        """Pad ef to a power of two >= ef_search so progressive widening
+        reuses a small set of compiled shapes (SURVEY.md §7 hard-parts:
+        'padding ef to a small set of bucketed widths')."""
+        base = self.config.ef_search
+        e = max(ef, 1)
+        b = base
+        while b < e:
+            b *= 2
+        return b
+
+    def search_ids(self, queries, ef: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw searchBaseLayer results: (dists [B, ef], node ids [B, ef]),
+        ascending, -1 padded, tombstones NOT filtered."""
+        queries = self._check_dims(queries)
+        ef = self.config.ef_search if ef is None else int(ef)
+        d, i, stats = search_graph(self._graph, jnp.asarray(queries), ef=ef,
+                                   metric_value=self.config.metric.value)
+        self.counters["n_searches"] += queries.shape[0]
+        self.counters["n_hops"] += int(np.sum(np.asarray(stats.hops)))
+        self.counters["n_dist_evals"] += int(
+            np.sum(np.asarray(stats.dist_evals)))
+        return np.asarray(d), np.asarray(i)
+
+    def search(self, queries, k: int, ef: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """k-NN search with tombstone filtering and progressive ef-doubling.
+
+        Mirrors hnsw_gettuple (embedding.c:284-366): run with efSearch; if
+        the executor (caller) wants more rows than surfaced (tombstones or
+        k > ef), double ef and re-search, until either k live results are
+        found, a search returns fewer results than requested (graph
+        exhausted, embedding.c:322), or widening stops producing new rows
+        (embedding.c:338-341).
+
+        Returns (dists f32[B, k], labels u64[B, k], valid bool[B, k]); rows
+        are ascending by distance, invalid slots padded with inf/0/False.
+        """
+        queries = self._check_dims(queries)
+        b = queries.shape[0]
+        ef = self.config.ef_search if ef is None else int(ef)
+        ef = self._bucket_ef(max(ef, 1))
+
+        deleted = np.asarray(self._graph.deleted)
+        n = self.n_nodes
+
+        while True:
+            d, i = self.search_ids(queries, ef)
+            found = i >= 0                                  # [B, ef]
+            alive = found & ~deleted[np.maximum(i, 0)]
+            n_alive = alive.sum(axis=1)
+            n_found = found.sum(axis=1)
+            # widen if some query still lacks k live results AND its search
+            # filled the whole beam (=> more graph remains to explore)
+            need_more = (n_alive < min(k, n)) & (n_found >= ef)
+            if not need_more.any() or ef >= max(n, 1):
+                break
+            ef = self._bucket_ef(ef * 2)
+            self.counters["n_widenings"] += 1
+
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_l = np.zeros((b, k), np.uint64)
+        out_v = np.zeros((b, k), bool)
+        for row in range(b):
+            sel = np.nonzero(alive[row])[0][:k]
+            m = len(sel)
+            out_d[row, :m] = d[row, sel]
+            out_l[row, :m] = self._labels[i[row, sel]]
+            out_v[row, :m] = True
+        return out_d, out_l, out_v
+
+    def exact_search(self, queries, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Brute-force exact k-NN over live vectors — the seq-scan ground
+        truth (embedding.c:1022-1038; test/sql/knn.sql:41-44)."""
+        queries = self._check_dims(queries)
+        n = self.n_nodes
+        d, i = _bruteforce(jnp.asarray(queries), self._graph.vectors, k,
+                           self.config.metric, n_valid=n,
+                           deleted=self._graph.deleted)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        valid = i >= 0
+        labels = np.where(valid, self._labels[np.maximum(i, 0)], 0)
+        return d, labels.astype(np.uint64), valid
+
+    # ------------------------------------------------------------------ #
+    # delete / vacuum (tombstones)
+    # ------------------------------------------------------------------ #
+
+    def delete(self, labels) -> int:
+        """Tombstone every node whose label matches (ambulkdelete analog,
+        embedding.c:918-932). Nodes stay in the graph as routable waypoints;
+        returns the number tombstoned."""
+        labels = np.asarray(labels, dtype=np.uint64).reshape(-1)
+        n = self.n_nodes
+        mine = self._labels[:n]
+        dead = np.isin(mine, labels)
+        already = np.asarray(self._graph.deleted)[:n]
+        newly = dead & ~already
+        idxs = np.nonzero(newly)[0]
+        if len(idxs):
+            self._graph = self._graph._replace(
+                deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
+        self.counters["n_deleted"] += len(idxs)
+        return len(idxs)
+
+    def delete_where(self, mask) -> int:
+        """Tombstone by node-id mask — the callback form of ambulkdelete."""
+        mask = np.asarray(mask, bool).reshape(-1)
+        n = self.n_nodes
+        idxs = np.nonzero(mask[:n] & ~np.asarray(self._graph.deleted)[:n])[0]
+        if len(idxs):
+            self._graph = self._graph._replace(
+                deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
+        self.counters["n_deleted"] += len(idxs)
+        return len(idxs)
+
+    def vacuum(self) -> Dict[str, int]:
+        """Stats only — space is never reclaimed (amvacuumcleanup,
+        embedding.c:867-878)."""
+        n = self.n_nodes
+        dead = int(np.asarray(self._graph.deleted)[:n].sum())
+        return {"num_nodes": n, "num_live": n - dead, "num_dead": dead,
+                "capacity": self._graph.capacity}
+
+    # ------------------------------------------------------------------ #
+    # durability (save/load) — the WAL/checkpoint analog
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str) -> None:
+        """Serialize the full device state. Like the reference, everything
+        except the arrays is re-derived from config on load
+        (embedding.c:58-64: 'metadata is reconstructed from reloptions')."""
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        n = self.n_nodes
+        np.savez_compressed(
+            path,
+            format_version=np.int64(_SAVE_FORMAT_VERSION),
+            config=np.frombuffer(
+                json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
+            vectors=np.asarray(self._graph.vectors)[:n],
+            links=np.asarray(self._graph.links)[:n],
+            link_counts=np.asarray(self._graph.link_counts)[:n],
+            deleted=np.asarray(self._graph.deleted)[:n],
+            labels=self._labels[:n],
+        )
+
+    @classmethod
+    def load(cls, path: str,
+             config: Optional[HnswConfig] = None) -> "HnswIndex":
+        """Restore an index. If ``config`` is given, its frozen fields
+        {dims, maxM, metric} must match the stored ones — the metadata-guard
+        analog (embedding.c:594-602); ef* knobs may differ freely."""
+        with np.load(path) as z:
+            if int(z["format_version"]) != _SAVE_FORMAT_VERSION:
+                raise ValueError("unsupported index format version")
+            stored = HnswConfig.from_dict(
+                json.loads(bytes(z["config"]).decode()))
+            if config is not None:
+                if config.frozen_fields() != stored.frozen_fields():
+                    raise ValueError(
+                        "index was built with different options "
+                        "(dims/m/metric are frozen; only ef* may change)")
+                cfg = config
+            else:
+                cfg = stored
+            vectors = z["vectors"]
+            links = z["links"]
+            link_counts = z["link_counts"]
+            deleted = z["deleted"]
+            labels = z["labels"]
+
+        n = vectors.shape[0]
+        idx = cls(cfg, initial_capacity=max(n, 32))
+        cap = idx._graph.capacity
+        vec = np.zeros((cap, cfg.dims), np.float32)
+        vec[:n] = vectors
+        lnk = np.full((cap, cfg.max_m), -1, np.int32)
+        lnk[:n] = links
+        cnt = np.zeros(cap, np.int32)
+        cnt[:n] = link_counts
+        dlt = np.zeros(cap, bool)
+        dlt[:n] = deleted
+        idx._graph = GraphState(
+            vectors=jnp.asarray(vec), links=jnp.asarray(lnk),
+            link_counts=jnp.asarray(cnt), deleted=jnp.asarray(dlt),
+            n_nodes=jnp.int32(n))
+        idx._labels[:n] = labels
+        idx._count = n
+        idx.counters["n_inserted"] = n
+        return idx
+
+    # ------------------------------------------------------------------ #
+    # knobs
+    # ------------------------------------------------------------------ #
+
+    def set_ef_search(self, ef_search: int) -> None:
+        """ALTER INDEX ... SET (efsearch=...) — the only legal live
+        mutation besides ef_construction (embedding.c:594-602)."""
+        self.config = self.config.with_ef(ef_search=ef_search)
+
+    def set_ef_construction(self, ef_construction: int) -> None:
+        self.config = self.config.with_ef(ef_construction=ef_construction)

@@ -1,0 +1,277 @@
+"""Batched graph construction — the TPU bindPoint / mutuallyConnectNewElement.
+
+Reference semantics (hnswalg.cpp:155-232, embedding.c:606-701):
+  - node 0 is inserted with no links and becomes the entry point
+  - every later node: searchBaseLayer(point, efConstruction), prune the
+    results to M via the Malkov diversity heuristic, write the new node's
+    link list, then back-link: append to each chosen neighbor's list if it
+    has room, else re-select its maxM best from {existing links + new node}
+    with the same heuristic (distances measured to the overflowing node)
+  - inserts are strictly serial (single-writer lock, embedding.c:624-631)
+
+TPU formulation:
+  - a *batch* of new points runs the beam search together (vmapped), and the
+    O(M^2) pairwise-distance heuristic is vectorized as a small masked
+    distance matrix + a fori scan over candidates (exact reference rule:
+    keep c iff no already-kept r has dist(c, r) < dist(c, query),
+    hnswalg.cpp:117-153)
+  - link wiring is applied *sequentially within the batch* (fori_loop), so
+    back-link overflow re-pruning sees every earlier update — deterministic,
+    no scatter conflicts
+  - batch members do not see each other as search candidates (their links
+    don't exist yet); this is the one divergence from strict serial order.
+    Recall parity vs. the serial reference is established empirically
+    (tests/test_build_parity.py) and the build driver ramps batch sizes
+    1, 2, 4, ... so the early backbone of the graph is near-serial.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.distance import dist_one_to_many, pairwise_dist
+from .graph import GraphState
+from .search import _search_one
+
+_INF = jnp.inf
+
+
+def _prune_heuristic(cand_d: jax.Array, cand_i: jax.Array,
+                     pair_d: jax.Array, nn: int):
+    """getNeighborsByHeuristic (hnswalg.cpp:117-153), vectorized.
+
+    Args:
+      cand_d: f32[C] distances candidate -> query point (inf = invalid).
+      cand_i: i32[C] candidate node ids (-1 = invalid).
+      pair_d: f32[C, C] pairwise candidate distances (same order).
+      nn:     max neighbors to keep (M, or maxM for back-link re-prunes).
+
+    Returns (kept_i i32[nn] in selection order, -1 padded; kept_count i32).
+
+    Candidates are scanned nearest-first (ties: larger id first, matching
+    std::pair max-heap ordering); c is kept iff no already-kept r satisfies
+    dist(c, r) < dist(c, query). If fewer than nn valid candidates exist the
+    heuristic is skipped entirely and all are kept (hnswalg.cpp:119-120) —
+    in *reverse* order, preserving the reference's link-list order quirk
+    (unpruned heaps pop farthest-first; see core.refimpl._mutually_connect).
+    """
+    c = cand_d.shape[0]
+    valid = (cand_i >= 0) & jnp.isfinite(cand_d)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    do_prune = n_valid >= nn
+
+    # nearest-first scan order; invalid entries (inf) sort last
+    key_d = jnp.where(valid, cand_d, _INF)
+    order = jnp.lexsort((-cand_i, key_d))
+    d_s = key_d[order]
+    i_s = cand_i[order]
+    valid_s = valid[order]
+    pair_s = pair_d[order][:, order]
+
+    def body(j, carry):
+        kept_mask, kept_count = carry
+        # diversity rule: reject if any kept r is closer to c than q is
+        conflict = jnp.any(kept_mask & (pair_s[j] < d_s[j]))
+        good = ~conflict | ~do_prune
+        take = valid_s[j] & good & (kept_count < nn)
+        kept_mask = kept_mask.at[j].set(take)
+        return kept_mask, kept_count + take.astype(jnp.int32)
+
+    kept_mask, kept_count = jax.lax.fori_loop(
+        0, c, body, (jnp.zeros((c,), jnp.bool_), jnp.int32(0)))
+
+    # compact kept ids into [nn] in selection (ascending-distance) order
+    pos = jnp.cumsum(kept_mask.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(kept_mask, pos, nn)  # overflow slot nn is dropped
+    kept_i = jnp.full((nn + 1,), -1, jnp.int32).at[scatter_to].set(i_s)[:nn]
+
+    # link-order parity: unpruned lists are written farthest-first
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)[:, 0]
+    rev_idx = jnp.clip(kept_count - 1 - slot, 0, nn - 1)
+    kept_rev = jnp.where(slot < kept_count, kept_i[rev_idx], -1)
+    kept_i = jnp.where(do_prune, kept_i, kept_rev)
+
+    return kept_i, kept_count
+
+
+def _connect_one(vectors, links, link_counts, cur, kept_i, kept_cnt, enable,
+                 *, m: int, max_m: int, metric_value: int):
+    """mutuallyConnectNewElement (hnswalg.cpp:155-223) for one new node,
+    given its already-pruned neighbor list. ``enable`` masks the whole
+    connect (used for ragged tails in SPMD sharded builds: a disabled slot
+    writes a blank link row and touches nothing else).
+
+    The reference back-links one neighbor at a time; the targets are
+    *distinct* nodes (the heuristic selects without replacement), so their
+    updates are independent and we process all M at once: both the append
+    path (hnswalg.cpp:193-195) and the overflow re-prune path
+    (hnswalg.cpp:196-220) are computed vectorized and selected by mask —
+    data-dependent branching via select, not lax.cond, because conds that
+    carry the full capacity-sized link arrays make XLA's buffer planning
+    (and compile time) blow up."""
+    cap = links.shape[0]
+    kept_cnt = jnp.where(enable, kept_cnt, 0)
+    slot_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    slot_mm = jax.lax.broadcasted_iota(jnp.int32, (max_m, 1), 0)[:, 0]
+
+    # forward links (hnswalg.cpp:168-181): pad [m] -> [max_m]
+    valid = (slot_m < kept_cnt) & (kept_i >= 0)
+    fwd = jnp.full((max_m,), -1, jnp.int32)
+    fwd = fwd.at[:m].set(jnp.where(valid, kept_i, -1))
+    links = links.at[cur].set(fwd)
+    link_counts = link_counts.at[cur].set(kept_cnt)
+
+    # back-links, all M targets at once
+    safe_t = jnp.where(valid, kept_i, 0)                     # [m]
+    rows = links[safe_t]                                     # [m, max_m]
+    cnts = link_counts[safe_t]                               # [m]
+    overflow = cnts >= max_m
+
+    # append path: place cur at slot cnts
+    one_hot = slot_mm[None, :] == cnts[:, None]              # [m, max_m]
+    app_rows = jnp.where(one_hot, cur, rows)
+    app_cnts = cnts + 1
+
+    # re-prune path: maxM best of {existing links + cur} by distance to the
+    # overflowing node (computed for every target, selected only where
+    # overflow — the masked-compute idiom)
+    cand_ids = jnp.concatenate(
+        [rows, jnp.full((m, 1), 1, jnp.int32) * cur], axis=1)  # [m, max_m+1]
+    base_vecs = vectors[safe_t]                              # [m, D]
+    cvecs = vectors[jnp.maximum(cand_ids, 0)]                # [m, max_m+1, D]
+    d = jax.vmap(lambda bv, cv: dist_one_to_many(bv, cv, metric_value))(
+        base_vecs, cvecs)                                    # [m, max_m+1]
+    d = jnp.where(cand_ids >= 0, d, _INF)
+    pair = jax.vmap(lambda cv: pairwise_dist(cv, cv, metric_value))(cvecs)
+    rep_rows, rep_cnts = jax.vmap(
+        lambda dd, ci, pd: _prune_heuristic(dd, ci, pd, max_m))(
+        d, cand_ids, pair)                                   # [m, max_m], [m]
+
+    new_rows = jnp.where(overflow[:, None], rep_rows, app_rows)
+    new_cnts = jnp.where(overflow, rep_cnts, app_cnts)
+
+    # scatter; invalid slots target index=cap and are dropped
+    tgt = jnp.where(valid, safe_t, cap)
+    links = links.at[tgt].set(new_rows, mode="drop")
+    link_counts = link_counts.at[tgt].set(new_cnts, mode="drop")
+    return links, link_counts
+
+
+def insert_batch_core(graph: GraphState, points: jax.Array,
+                      n_insert: jax.Array, *, ef_construction: int, m: int,
+                      max_m: int, metric_value: int,
+                      cand_cap: int | None = None) -> GraphState:
+    """Insert a batch of points (the aminsert/ambuild hot path,
+    embedding.c:606-701 + hnswalg.cpp:225-232). Un-jitted core, also used
+    inside shard_map.
+
+    Stages the batch's vectors, beam-searches the pre-batch graph for all of
+    them at once, prunes candidates to M with the vectorized heuristic, then
+    wires links sequentially within the batch.  Only the first ``n_insert``
+    (dynamic, <= B) points are actually inserted; the rest are masked no-ops
+    so SPMD shards with ragged tails can share one program.
+    """
+    b, d = points.shape
+    base = graph.n_nodes
+    efc = ef_construction
+    if cand_cap is None:
+        cand_cap = efc
+
+    # stage vectors (they are unreachable until links exist, so staging
+    # before the search is safe — new nodes have no in-edges yet)
+    vectors = jax.lax.dynamic_update_slice(graph.vectors,
+                                           points.astype(jnp.float32),
+                                           (base, 0))
+    staged = graph._replace(vectors=vectors)
+
+    # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
+    search = functools.partial(_search_one, ef=efc,
+                               metric_value=metric_value, cand_cap=cand_cap)
+    cand_d, cand_i, _, _ = jax.vmap(search, in_axes=(None, 0))(staged, points)
+
+    # Intra-batch candidates: under strict serial insertion (the reference),
+    # element i's search would also reach earlier inserts i' < i of this
+    # batch; the batched search cannot (their links don't exist yet).
+    # Restore that by brute-forcing distances within the batch and merging
+    # earlier members into each element's candidate set — a superset of what
+    # the serial search would have found among them.
+    bi = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+    intra = pairwise_dist(points.astype(jnp.float32),
+                          points.astype(jnp.float32), metric_value)  # [B,B]
+    earlier = (bi[None, :] < bi[:, None]) & (bi[None, :] < n_insert)
+    intra_d = jnp.where(earlier, intra, _INF)
+    intra_i = jnp.where(earlier, base + bi[None, :], -1)
+    merged_d = jnp.concatenate([cand_d, intra_d], axis=1)    # [B, efc+B]
+    merged_i = jnp.concatenate([cand_i, intra_i], axis=1)
+    order = jnp.argsort(merged_d, axis=1, stable=True)[:, :efc]
+    cand_d = jnp.take_along_axis(merged_d, order, axis=1)
+    cand_i = jnp.take_along_axis(merged_i, order, axis=1)
+
+    # batched heuristic prune to M (hnswalg.cpp:158)
+    cvecs = vectors[jnp.maximum(cand_i, 0)]                  # [B, efc, D]
+    pair = jax.vmap(lambda v: pairwise_dist(v, v, metric_value))(cvecs)
+    kept_i, kept_cnt = jax.vmap(
+        lambda cd, ci, pd: _prune_heuristic(cd, ci, pd, m))(cand_d, cand_i,
+                                                            pair)
+
+    # node 0 special case: the very first element binds with no links
+    # (hnswalg.cpp:227-228); searching an empty graph already yields zero
+    # candidates, so kept_cnt is 0 and the wiring below is a natural no-op.
+
+    def body(i, carry):
+        links, link_counts = carry
+        return _connect_one(vectors, links, link_counts, base + i,
+                            kept_i[i], kept_cnt[i], i < n_insert, m=m,
+                            max_m=max_m, metric_value=metric_value)
+
+    links, link_counts = jax.lax.fori_loop(
+        0, b, body, (graph.links, graph.link_counts))
+
+    return GraphState(vectors=vectors, links=links, link_counts=link_counts,
+                      deleted=graph.deleted, n_nodes=base + n_insert)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef_construction", "m", "max_m", "metric_value",
+                     "cand_cap"))
+def insert_batch(graph: GraphState, points: jax.Array, *,
+                 ef_construction: int, m: int, max_m: int, metric_value: int,
+                 cand_cap: int | None = None) -> GraphState:
+    """Jitted full-batch insert (see insert_batch_core)."""
+    return insert_batch_core(graph, points, jnp.int32(points.shape[0]),
+                             ef_construction=ef_construction, m=m,
+                             max_m=max_m, metric_value=metric_value,
+                             cand_cap=cand_cap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef_construction", "m", "max_m", "metric_value",
+                     "cand_cap"))
+def insert_batch_masked(graph: GraphState, points: jax.Array,
+                        n_insert: jax.Array, *, ef_construction: int, m: int,
+                        max_m: int, metric_value: int,
+                        cand_cap: int | None = None) -> GraphState:
+    """Jitted masked-tail insert: only the first ``n_insert`` (dynamic) rows
+    of ``points`` are inserted.  Because n_insert is traced, every insert —
+    full batches and ragged tails alike — shares ONE compiled program per
+    (batch size, capacity), which matters on TPU where a cold compile costs
+    tens of seconds."""
+    return insert_batch_core(graph, points, n_insert,
+                             ef_construction=ef_construction, m=m,
+                             max_m=max_m, metric_value=metric_value,
+                             cand_cap=cand_cap)
+
+
+def build_schedule(n: int, max_batch: int):
+    """Fixed-size batch schedule: (offset, count) pairs, all with the same
+    padded batch shape.  One compiled program per capacity (tails are handled
+    by n_insert masking, not by smaller shapes — early-batch graph quality is
+    covered by the intra-batch brute-force candidates in
+    insert_batch_core)."""
+    return [(off, min(max_batch, n - off)) for off in range(0, n, max_batch)]

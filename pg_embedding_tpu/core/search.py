@@ -1,0 +1,182 @@
+"""Batched ef-bounded best-first graph search — the TPU searchBaseLayer.
+
+The reference's hot loop (hnswalg.cpp:42-114) is a best-first traversal with
+two priority queues and a growable visited bitmap, one buffer pin + one SIMD
+distance per neighbor visit.  The TPU formulation keeps the exact algorithmic
+contract but restructures the data for XLA:
+
+  * priority queues  -> fixed-width distance-sorted arrays maintained by
+                        concat + argsort ("masked merge"), inf/-1 padded
+  * visited bitset   -> u32-word bitmap per query (same layout as
+                        hnswalg.cpp:45-64: word = id >> 5, bit = id & 31),
+                        updated with disjoint-bit scatter-adds
+  * the while loop   -> jax.lax.while_loop with the reference's exact
+                        termination rule (stop when the best unexpanded
+                        candidate is farther than the worst kept result,
+                        hnswalg.cpp:69-71)
+  * the gating rule  -> dist < worst_kept OR results not full
+                        (hnswalg.cpp:99), expressed as a mask
+  * per-neighbor distance calls -> one gather of the whole neighbor row
+                        [maxM, D] + one vectorized distance (the
+                        hnsw_prefetch latency hiding at embedding.c:845-850
+                        becomes a single coalesced HBM gather)
+  * one query per backend      -> jax.vmap over a query batch
+
+Semantic notes (validated against core.refimpl in tests):
+  - With results-not-full, the reference's lowerBound (= current worst kept)
+    can never be exceeded by any queued candidate (every queued candidate was
+    simultaneously pushed into topResults), so padding the result array with
+    +inf reproduces both the gate and the termination test exactly.
+  - The candidate queue here is truncated to a static width ``cand_cap``
+    (default ef).  The reference's queue is unbounded, but any truncated
+    candidate is farther than ``cand_cap`` better ones; expansions are
+    best-first and only shrink lowerBound, so truncation only drops
+    candidates that would have failed the termination test with high
+    probability.  Recall parity is established empirically in
+    tests/test_search_parity.py (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.distance import dist_one_to_many
+from .graph import GraphState
+
+_INF = jnp.inf
+
+
+class SearchStats(NamedTuple):
+    hops: jax.Array        # i32[B] — candidate expansions per query
+    dist_evals: jax.Array  # i32[B] — distance computations per query
+
+
+def _merge_topk(d_a, i_a, d_b, i_b, k: int):
+    """Merge two (dist, idx) sets, keep the k smallest by distance.
+
+    Stable: on ties, entries of the first (existing) set win — matching the
+    max-heap's keep-the-incumbent behavior closely enough for parity tests.
+    """
+    d = jnp.concatenate([d_a, d_b])
+    i = jnp.concatenate([i_a, i_b])
+    order = jnp.argsort(d, stable=True)[:k]
+    return d[order], i[order]
+
+
+def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
+                metric_value: int, cand_cap: int):
+    """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
+    hops, dist_evals); results ascending, -1/-inf padded."""
+    cap = graph.capacity
+    max_m = graph.max_m
+    n_words = cap // 32
+
+    # --- entry point: node 0, hardwired (embedding.c:235) -----------------
+    has_nodes = graph.n_nodes > 0
+    d0 = dist_one_to_many(query, graph.vectors[0][None, :], metric_value)[0]
+    d0 = jnp.where(has_nodes, d0, _INF)
+    i0 = jnp.where(has_nodes, 0, -1)
+
+    res_d = jnp.full((ef,), _INF, jnp.float32).at[0].set(d0)
+    res_i = jnp.full((ef,), -1, jnp.int32).at[0].set(i0)
+    cand_d = jnp.full((cand_cap,), _INF, jnp.float32).at[0].set(d0)
+    cand_i = jnp.full((cand_cap,), -1, jnp.int32).at[0].set(i0)
+    visited = jnp.zeros((n_words,), jnp.uint32).at[0].set(
+        jnp.where(has_nodes, jnp.uint32(1), jnp.uint32(0)))
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (max_m, 1), 0)[:, 0]
+
+    def cond(state):
+        res_d, res_i, cand_d, cand_i, visited, hops, evals = state
+        lower_bound = res_d[ef - 1]  # inf while not full (see module doc)
+        # continue while best candidate exists and is not strictly farther
+        # than the worst kept result (hnswalg.cpp:69-71)
+        return (cand_d[0] < _INF) & ~(cand_d[0] > lower_bound)
+
+    def body(state):
+        res_d, res_i, cand_d, cand_i, visited, hops, evals = state
+
+        # --- pop best candidate (candidateSet.pop, hnswalg.cpp:73) --------
+        cur = cand_i[0]
+        cand_d = jnp.concatenate([cand_d[1:], jnp.full((1,), _INF,
+                                                       jnp.float32)])
+        cand_i = jnp.concatenate([cand_i[1:], jnp.full((1,), -1, jnp.int32)])
+
+        safe_cur = jnp.maximum(cur, 0)
+        nbrs = graph.links[safe_cur]                     # i32[maxM]
+        cnt = graph.link_counts[safe_cur]
+        valid = (slot_ids < cnt) & (nbrs >= 0)
+
+        safe_nbrs = jnp.where(valid, nbrs, 0)
+        words = safe_nbrs >> 5
+        bits = (jnp.uint32(1) << (safe_nbrs & 31).astype(jnp.uint32))
+
+        unvisited = (visited[words] & bits) == 0
+
+        # first-occurrence dedupe within the row (link lists should already
+        # be duplicate-free per the reference invariants, but batched
+        # construction must never be able to corrupt the visited bitmap)
+        eq_earlier = (safe_nbrs[None, :] == safe_nbrs[:, None]) & (
+            slot_ids[None, :] < slot_ids[:, None])
+        dup = jnp.any(eq_earlier & valid[None, :], axis=1)
+
+        process = valid & unvisited & ~dup
+
+        # mark visited (hnswalg.cpp:92-93): bits are unset and pairwise
+        # distinct within each word, so scatter-add == scatter-or
+        add_bits = jnp.where(process, bits, jnp.uint32(0))
+        visited = visited.at[words].add(add_bits)
+
+        # --- fused gather + distance (replaces the per-neighbor
+        #     begin_read/dist loop, hnswalg.cpp:89-98) ---------------------
+        nvecs = graph.vectors[safe_nbrs]                 # [maxM, D]
+        dists = dist_one_to_many(query, nvecs, metric_value)
+        evals = evals + jnp.sum(process.astype(jnp.int32))
+
+        # gating rule (hnswalg.cpp:99): admit if better than worst kept or
+        # results not full (res_d[ef-1] is inf while not full)
+        admit = process & (dists < res_d[ef - 1])
+        new_d = jnp.where(admit, dists, _INF)
+        new_i = jnp.where(admit, nbrs, -1)
+
+        res_d, res_i = _merge_topk(res_d, res_i, new_d, new_i, ef)
+        cand_d, cand_i = _merge_topk(cand_d, cand_i, new_d, new_i, cand_cap)
+
+        return res_d, res_i, cand_d, cand_i, visited, hops + 1, evals
+
+    state = (res_d, res_i, cand_d, cand_i, visited, jnp.int32(0),
+             jnp.int32(0))
+    res_d, res_i, _, _, _, hops, evals = jax.lax.while_loop(cond, body, state)
+    return res_d, res_i, hops, evals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ef", "metric_value", "cand_cap"))
+def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
+                 metric_value: int, cand_cap: int | None = None
+                 ) -> Tuple[jax.Array, jax.Array, SearchStats]:
+    """Batched searchBaseLayer.
+
+    Args:
+      graph:   GraphState (device arrays).
+      queries: f32[B, D] query batch (the reference serves one query per
+               backend; batching is the TPU's replacement for that).
+      ef:      beam width (efSearch / efConstruction).
+      metric_value: Metric.value (static).
+      cand_cap: candidate-queue width (default ef).
+
+    Returns:
+      (dists f32[B, ef] ascending, node ids i32[B, ef] (-1 past end),
+       SearchStats).
+    """
+    if cand_cap is None:
+        cand_cap = ef
+    fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
+                           cand_cap=cand_cap)
+    res_d, res_i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(graph,
+                                                                queries)
+    return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)

@@ -1,0 +1,363 @@
+"""Multi-chip sharded index — the TPU-native scaling layer.
+
+The reference has no intra-query or multi-node parallelism at all
+(``amcanparallel = false``, embedding.c:982; single-writer inserts,
+embedding.c:624-631); its only "distribution" is Neon's storage
+disaggregation over the WAL.  On TPU the idiomatic scale-out for a graph
+index is (SURVEY.md §2 "TPU-native equivalents"):
+
+  * partition the corpus round-robin across a 1-D device mesh — each shard
+    holds an independent flat-NSW sub-graph over its slice (round-robin so
+    every shard sees an unbiased sample of the distribution),
+  * build runs the same batched-insert program on every shard at once
+    (SPMD via shard_map; zero communication — shard graphs are independent),
+  * queries are replicated; every shard runs the beam search on its
+    sub-graph; the per-shard top-ef candidate sets are combined with
+    ``jax.lax.all_gather`` over ICI and reduced to a global top-k inside the
+    same program (the NCCL-equivalent on TPU is XLA's built-in collectives).
+
+Per-shard recall at equal ef is *higher* than single-graph recall (each
+sub-graph is searched exhaustively relative to its size), so the merged
+global top-k matches or beats single-chip recall at efsearch parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HnswConfig
+from ..core.build import insert_batch_core
+from ..core.graph import GraphState
+from ..core.search import _search_one
+
+AXIS = "shard"
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _local(graph_arrays):
+    """Strip the leading per-shard axis inside shard_map."""
+    vectors, links, link_counts, deleted, n_nodes = graph_arrays
+    return GraphState(vectors=vectors[0], links=links[0],
+                      link_counts=link_counts[0], deleted=deleted[0],
+                      n_nodes=n_nodes[0])
+
+
+def _stacked(graph: GraphState):
+    return (graph.vectors[None], graph.links[None],
+            graph.link_counts[None], graph.deleted[None],
+            graph.n_nodes[None])
+
+
+class ShardedHnswIndex:
+    """Data-parallel sharded flat-NSW index over a 1-D device mesh."""
+
+    def __init__(self, config: HnswConfig, mesh: Optional[Mesh] = None, *,
+                 initial_capacity: int = 1024,
+                 max_insert_batch: int = 128) -> None:
+        self.config = config
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.n_shards = self.mesh.devices.size
+        self.max_insert_batch = int(max_insert_batch)
+
+        cap = self._pad_cap(initial_capacity)
+        s = self.n_shards
+        shard = NamedSharding(self.mesh, P(AXIS))
+        self._arrays = tuple(
+            jax.device_put(a, shard) for a in (
+                np.zeros((s, cap, config.dims), np.float32),
+                np.full((s, cap, config.max_m), -1, np.int32),
+                np.zeros((s, cap), np.int32),
+                np.zeros((s, cap), bool),
+                np.zeros((s,), np.int32),
+            ))
+        self._labels = np.zeros((s, cap), np.uint64)
+        # host-side mirror of per-shard n_nodes (reading the device array
+        # would force a pipeline-draining sync; see api.HnswIndex._count)
+        self._counts = np.zeros((s,), np.int64)
+        self.counters: Dict[str, int] = {"n_inserted": 0, "n_deleted": 0,
+                                         "n_searches": 0, "n_widenings": 0}
+        self._step_cache: Dict = {}
+
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _pad_cap(cap: int) -> int:
+        return max(((int(cap) + 31) // 32) * 32, 32)
+
+    @property
+    def capacity_per_shard(self) -> int:
+        return self._arrays[0].shape[1]
+
+    @property
+    def shard_counts(self) -> np.ndarray:
+        return self._counts.copy()
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.shard_counts.sum())
+
+    def __len__(self) -> int:
+        return self.n_nodes
+
+    def _check_dims(self, vectors) -> np.ndarray:
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.shape[1] != self.config.dims:
+            raise ValueError(
+                f"wrong number of dimensions: {vectors.shape[1]} instead of "
+                f"{self.config.dims} expected")
+        return vectors
+
+    # ------------------------------------------------------------------ #
+    # build
+    # ------------------------------------------------------------------ #
+
+    def _insert_step(self, batch_size: int):
+        """Shard-mapped SPMD insert program for a given static batch size.
+
+        Cached per (batch_size, capacity) so jit retraces are bounded."""
+        key = ("insert", batch_size, self.capacity_per_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.config
+
+        def step(arrays, points, n_insert):
+            # points: [1, B, D] local; n_insert: [1] local
+            g = _local(arrays)
+            g = insert_batch_core(g, points[0], n_insert[0],
+                                  ef_construction=cfg.ef_construction,
+                                  m=cfg.m, max_m=cfg.max_m,
+                                  metric_value=cfg.metric.value)
+            return _stacked(g)
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P(AXIS), P(AXIS)),
+            out_specs=spec, check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def add(self, vectors, labels=None) -> None:
+        """Round-robin partition + SPMD batched insert on every shard."""
+        vectors = self._check_dims(vectors)
+        n = vectors.shape[0]
+        if labels is None:
+            base_label = self.counters["n_inserted"]
+            labels = np.arange(base_label, base_label + n, dtype=np.uint64)
+        else:
+            labels = np.asarray(labels, np.uint64).reshape(-1)
+            if labels.shape[0] != n:
+                raise ValueError("labels/vectors length mismatch")
+
+        s = self.n_shards
+        counts = self.shard_counts.copy()
+        # round-robin over shards, continuing from current global position
+        start = int(counts.sum())
+        assign = (start + np.arange(n)) % s
+        per_shard = [np.nonzero(assign == i)[0] for i in range(s)]
+        per_n = np.array([len(p) for p in per_shard])
+
+        # capacity check / growth (+1 batch of staging slack per shard;
+        # a masked tail batch stages a full batch-width slice)
+        need = counts + per_n + self.max_insert_batch
+        if need.max() > self.capacity_per_shard:
+            self._grow(int(need.max()))
+
+        # write labels
+        for i in range(s):
+            self._labels[i, counts[i]: counts[i] + per_n[i]] = \
+                labels[per_shard[i]]
+
+        # insert in uniform fixed-shape SPMD batches; ragged tails (across
+        # batches AND across shards) use n_insert masking so exactly one
+        # program compiles per capacity
+        max_off = int(per_n.max())
+        b = self.max_insert_batch
+        shard = NamedSharding(self.mesh, P(AXIS))
+        for off in range(0, max_off, b):
+            pts = np.zeros((s, b, self.config.dims), np.float32)
+            n_ins = np.zeros((s,), np.int32)
+            for i in range(s):
+                take = per_shard[i][off: off + b]
+                pts[i, : len(take)] = vectors[take]
+                n_ins[i] = len(take)
+            self._arrays = self._insert_step(b)(
+                self._arrays, jax.device_put(pts, shard),
+                jax.device_put(n_ins, shard))
+        self._counts = counts + per_n
+        self.counters["n_inserted"] += n
+
+    def build(self, vectors, labels=None) -> None:
+        vectors = self._check_dims(vectors)
+        if self.n_nodes != 0:
+            raise RuntimeError("build() requires an empty index; use add()")
+        per = -(-vectors.shape[0] // self.n_shards) + self.max_insert_batch
+        if per > self.capacity_per_shard:
+            self._grow(per)
+        self.add(vectors, labels)
+
+    def _grow(self, new_cap: int) -> None:
+        new_cap = self._pad_cap(max(new_cap, self.capacity_per_shard * 2))
+        s = self.n_shards
+        old = self.capacity_per_shard
+        cfg = self.config
+        vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
+        nvec = np.zeros((s, new_cap, cfg.dims), np.float32)
+        nvec[:, :old] = vec
+        nlnk = np.full((s, new_cap, cfg.max_m), -1, np.int32)
+        nlnk[:, :old] = lnk
+        ncnt = np.zeros((s, new_cap), np.int32)
+        ncnt[:, :old] = cnt
+        ndlt = np.zeros((s, new_cap), bool)
+        ndlt[:, :old] = dlt
+        shard = NamedSharding(self.mesh, P(AXIS))
+        self._arrays = tuple(jax.device_put(a, shard)
+                             for a in (nvec, nlnk, ncnt, ndlt, nn))
+        nlab = np.zeros((s, new_cap), np.uint64)
+        nlab[:, :old] = self._labels
+        self._labels = nlab
+
+    # ------------------------------------------------------------------ #
+    # search
+    # ------------------------------------------------------------------ #
+
+    def _search_step(self, ef: int, k_total: int):
+        """Shard-mapped search + ICI all-gather + global top-k merge."""
+        key = ("search", ef, k_total, self.capacity_per_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.config
+        cap = self.capacity_per_shard
+
+        def step(arrays, queries):
+            g = _local(arrays)
+            q = queries  # replicated: [B, D]
+            fn = functools.partial(_search_one, ef=ef,
+                                   metric_value=cfg.metric.value,
+                                   cand_cap=ef)
+            d, i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(g, q)
+            # filter tombstones on-shard before the merge so dead nodes
+            # never travel over ICI (searchKnn filter, hnswalg.cpp:245)
+            dead = g.deleted[jnp.maximum(i, 0)] & (i >= 0)
+            d = jnp.where(dead, jnp.inf, d)
+            i = jnp.where(dead, -1, i)
+            # local idx -> global handle: shard * cap + idx
+            sid = jax.lax.axis_index(AXIS)
+            gid = jnp.where(i >= 0, sid * cap + i, -1)
+            # found count per query (for the widening heuristic): how many
+            # raw results this shard produced before tombstone filtering
+            found = jnp.sum((i >= 0).astype(jnp.int32), axis=1)  # [B]
+
+            # all-gather candidate sets over ICI, merge to global top-k
+            all_d = jax.lax.all_gather(d, AXIS)      # [S, B, ef]
+            all_g = jax.lax.all_gather(gid, AXIS)    # [S, B, ef]
+            all_f = jax.lax.all_gather(found, AXIS)  # [S, B]
+            s = all_d.shape[0]
+            b = all_d.shape[1]
+            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * ef)
+            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * ef)
+            neg, sel = jax.lax.top_k(-flat_d, k_total)
+            out_d = -neg
+            out_g = jnp.take_along_axis(flat_g, sel, axis=1)
+            return out_d, out_g, jnp.sum(all_f, axis=0)
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P()),
+            out_specs=(P(), P(), P()), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def _bucket_ef(self, ef: int) -> int:
+        base = self.config.ef_search
+        b = base
+        while b < max(ef, 1):
+            b *= 2
+        return b
+
+    def search(self, queries, k: int, ef: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Global k-NN: per-shard beam search, all-gather merge, progressive
+        ef-doubling when tombstones/small-ef starve a query (the
+        hnsw_gettuple widening loop, embedding.c:329-366, applied to the
+        merged result)."""
+        queries = self._check_dims(queries)
+        bq = queries.shape[0]
+        ef = self.config.ef_search if ef is None else int(ef)
+        ef = self._bucket_ef(ef)
+        qdev = jnp.asarray(queries)
+
+        n = self.n_nodes
+        while True:
+            d, g, found = self._search_step(ef, min(k, ef * self.n_shards))(
+                self._arrays, qdev)
+            d = np.asarray(d)
+            g = np.asarray(g)
+            alive = (g >= 0) & np.isfinite(d)
+            n_alive = alive.sum(axis=1)
+            need_more = (n_alive < min(k, n)) & \
+                        (np.asarray(found) >= ef * self.n_shards)
+            if not need_more.any() or ef >= max(n, 1):
+                break
+            ef = self._bucket_ef(ef * 2)
+            self.counters["n_widenings"] += 1
+        self.counters["n_searches"] += bq
+
+        cap = self.capacity_per_shard
+        out_d = np.full((bq, k), np.inf, np.float32)
+        out_l = np.zeros((bq, k), np.uint64)
+        out_v = np.zeros((bq, k), bool)
+        for row in range(bq):
+            sel = np.nonzero(alive[row])[0][:k]
+            m = len(sel)
+            out_d[row, :m] = d[row, sel]
+            gids = g[row, sel]
+            out_l[row, :m] = self._labels[gids // cap, gids % cap]
+            out_v[row, :m] = True
+        return out_d, out_l, out_v
+
+    # ------------------------------------------------------------------ #
+    # delete / stats
+    # ------------------------------------------------------------------ #
+
+    def delete(self, labels) -> int:
+        labels = np.asarray(labels, np.uint64).reshape(-1)
+        dlt = np.asarray(self._arrays[3]).copy()
+        counts = self.shard_counts
+        n_new = 0
+        for i in range(self.n_shards):
+            mine = self._labels[i, : counts[i]]
+            dead = np.isin(mine, labels) & ~dlt[i, : counts[i]]
+            n_new += int(dead.sum())
+            dlt[i, : counts[i]] |= dead
+        shard = NamedSharding(self.mesh, P(AXIS))
+        arrays = list(self._arrays)
+        arrays[3] = jax.device_put(dlt, shard)
+        self._arrays = tuple(arrays)
+        self.counters["n_deleted"] += n_new
+        return n_new
+
+    def vacuum(self) -> Dict[str, int]:
+        n = self.n_nodes
+        counts = self.shard_counts
+        dlt = np.asarray(self._arrays[3])
+        dead = int(sum(dlt[i, : counts[i]].sum()
+                       for i in range(self.n_shards)))
+        return {"num_nodes": n, "num_live": n - dead, "num_dead": dead,
+                "capacity": self.capacity_per_shard * self.n_shards,
+                "n_shards": self.n_shards}

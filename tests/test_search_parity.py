@@ -1,0 +1,115 @@
+"""TPU beam search vs the faithful reference implementation.
+
+The TPU search restructures searchBaseLayer's priority queues into masked
+sorted arrays (core/search.py); these tests establish that over
+reference-built graphs the TPU traversal returns the same result sets —
+exactly on moderate data, and at oracle-recall parity on clustered data
+(SURVEY.md §7 'hard parts': prove recall parity empirically)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pg_embedding_tpu.config import HnswConfig, Metric
+from pg_embedding_tpu.core.graph import empty_graph
+from pg_embedding_tpu.core.refimpl import RefHnswIndex
+from pg_embedding_tpu.core.search import search_graph
+from pg_embedding_tpu.ops.bruteforce import exact_search
+
+
+def _graph_from_ref(ri: RefHnswIndex):
+    cfg = ri.config
+    n = ri.n_nodes
+    g = empty_graph(max(n, 32), cfg.dims, cfg.max_m)
+    vec = np.zeros((g.capacity, cfg.dims), np.float32)
+    vec[:n] = np.stack(ri.vectors)
+    links = np.full((g.capacity, cfg.max_m), -1, np.int32)
+    cnts = np.zeros(g.capacity, np.int32)
+    for i, ls in enumerate(ri.links):
+        links[i, : len(ls)] = ls
+        cnts[i] = len(ls)
+    return g._replace(vectors=jnp.asarray(vec), links=jnp.asarray(links),
+                      link_counts=jnp.asarray(cnts), n_nodes=jnp.int32(n))
+
+
+@pytest.mark.parametrize("metric", list(Metric))
+@pytest.mark.parametrize("seed", [0, 1])
+def test_same_result_set_on_ref_graph(metric, seed):
+    rng = np.random.default_rng(seed)
+    n, d, ef = 300, 12, 32
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    qs = rng.normal(size=(6, d)).astype(np.float32)
+    cfg = HnswConfig(dims=d, m=6, ef_construction=40, ef_search=ef,
+                     metric=metric)
+    ri = RefHnswIndex(cfg)
+    ri.build(pts, np.arange(n))
+    g = _graph_from_ref(ri)
+
+    td, ti, _ = search_graph(g, jnp.asarray(qs), ef=ef,
+                             metric_value=metric.value)
+    td, ti = np.asarray(td), np.asarray(ti)
+    for q in range(qs.shape[0]):
+        ref = ri.search_idx(qs[q], ef)
+        ref_ids = [i for _, i in ref]
+        got_ids = [int(x) for x in ti[q] if x >= 0]
+        # identical result SET; ordering identical up to distance ties
+        assert set(got_ids) == set(ref_ids), f"query {q}"
+        ref_ds = np.array([dd for dd, _ in ref], np.float32)
+        got_ds = td[q][: len(ref_ds)]
+        np.testing.assert_allclose(got_ds, ref_ds, rtol=1e-4, atol=1e-5)
+
+
+def test_recall_parity_on_clustered_data():
+    """Clustered (harder) distribution: TPU search recall over a ref-built
+    graph must be within 1 point of the reference's own recall."""
+    rng = np.random.default_rng(3)
+    n_clusters, per, d, ef, k = 20, 50, 16, 64, 10
+    centers = rng.normal(scale=5.0, size=(n_clusters, d))
+    pts = (centers[np.repeat(np.arange(n_clusters), per)] +
+           rng.normal(size=(n_clusters * per, d))).astype(np.float32)
+    n = pts.shape[0]
+    qs = (centers[rng.integers(0, n_clusters, 16)] +
+          rng.normal(size=(16, d))).astype(np.float32)
+
+    cfg = HnswConfig(dims=d, m=8, ef_construction=48, ef_search=ef)
+    ri = RefHnswIndex(cfg)
+    ri.build(pts, np.arange(n))
+    g = _graph_from_ref(ri)
+
+    _, oracle = exact_search(qs, pts, k, Metric.L2)
+    oracle = np.asarray(oracle)
+
+    _, ti, _ = search_graph(g, jnp.asarray(qs), ef=ef, metric_value=0)
+    ti = np.asarray(ti)
+
+    def recall(rows):
+        return np.mean([len(set(rows[i][:k]) & set(oracle[i])) / k
+                        for i in range(len(qs))])
+
+    ref_rows = [[i for _, i in ri.search_idx(q, ef)] for q in qs]
+    r_ref = recall([np.array(r + [-1] * k) for r in ref_rows])
+    r_tpu = recall(ti)
+    assert r_tpu >= r_ref - 0.01, (r_tpu, r_ref)
+
+
+def test_stats_counters():
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(200, 8)).astype(np.float32)
+    cfg = HnswConfig(dims=8, m=6, ef_construction=32, ef_search=16)
+    ri = RefHnswIndex(cfg)
+    ri.build(pts, np.arange(200))
+    g = _graph_from_ref(ri)
+    qs = rng.normal(size=(4, 8)).astype(np.float32)
+    _, _, stats = search_graph(g, jnp.asarray(qs), ef=16, metric_value=0)
+    assert (np.asarray(stats.hops) > 0).all()
+    assert (np.asarray(stats.dist_evals) > 0).all()
+
+
+def test_single_node_graph():
+    g = empty_graph(32, 4, 8)
+    g = g._replace(vectors=g.vectors.at[0].set(jnp.ones(4)),
+                   n_nodes=jnp.int32(1))
+    d, i, _ = search_graph(g, jnp.zeros((1, 4)), ef=8, metric_value=0)
+    assert int(np.asarray(i)[0, 0]) == 0
+    assert (np.asarray(i)[0, 1:] == -1).all()
+    assert float(np.asarray(d)[0, 0]) == pytest.approx(2.0)
