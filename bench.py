@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Headline benchmark: TPU flat-NSW QPS/chip vs the CPU reference engine.
+
+Config 1 from BASELINE.md: SIFT-like 128-d L2, hnsw(m=16, efconstruction=64,
+efsearch=64), recall@10.  No dataset egress is available, so the corpus is
+synthetic SIFT-like clustered data (mixture of Gaussians), identical for both
+engines.  The CPU baseline is csrc/hnsw_ref.cpp — a native single-thread
+implementation of the pg_embedding algorithm (graph-parity-tested against
+the Python refimpl) — measuring both build rate and query throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <TPU QPS/chip at efsearch=64>, "unit": "qps",
+   "vs_baseline": <TPU QPS / CPU single-thread QPS>}
+plus human-readable detail on stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N = 100_000
+DIMS = 128
+N_CENTERS = 1_000
+M = 16
+EF_CONSTRUCTION = 64
+EF_SEARCH = 64
+K = 10
+N_QUERIES = 1_024
+QPS_REPS = 8
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_data(rng):
+    """SIFT-like clustered synthetic corpus (mixture of Gaussians)."""
+    centers = rng.normal(scale=4.0, size=(N_CENTERS, DIMS)).astype(np.float32)
+    assign = rng.integers(0, N_CENTERS, N)
+    pts = (centers[assign] +
+           rng.normal(size=(N, DIMS)).astype(np.float32)).astype(np.float32)
+    qassign = rng.integers(0, N_CENTERS, N_QUERIES)
+    qs = (centers[qassign] +
+          rng.normal(size=(N_QUERIES, DIMS)).astype(np.float32)
+          ).astype(np.float32)
+    return pts, qs
+
+
+def recall_at_k(got_labels, got_valid, oracle_labels, k):
+    rs = []
+    for i in range(got_labels.shape[0]):
+        have = set(got_labels[i][got_valid[i]][:k].tolist())
+        want = set(oracle_labels[i][:k].tolist())
+        rs.append(len(have & want) / k)
+    return float(np.mean(rs))
+
+
+def bench_tpu(pts, qs):
+    import jax
+    import jax.numpy as jnp
+
+    from pg_embedding_tpu import HnswConfig, HnswIndex
+
+    log(f"TPU devices: {jax.devices()}")
+    cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EF_CONSTRUCTION,
+                     ef_search=EF_SEARCH)
+    idx = HnswIndex(cfg, max_insert_batch=128)
+
+    # warm the compile caches on a throwaway slice so the build-rate number
+    # measures execution, not compilation
+    warm = HnswIndex(cfg, initial_capacity=idx.max_insert_batch * 4,
+                     max_insert_batch=128)
+    warm.add(pts[:256])
+    del warm
+
+    t0 = time.time()
+    idx.build(pts)
+    np.asarray(idx.graph.n_nodes)   # axon: only host reads truly sync
+    build_s = time.time() - t0
+    log(f"TPU build {N} vecs: {build_s:.1f}s = {N / build_s:.0f} vec/s "
+        f"(excl. one-time compile of the build program)")
+
+    # oracle (exact seq-scan analog) on device
+    _, ol, ov = idx.exact_search(qs, K)
+
+    # warm-up + QPS at efsearch=64, batched queries
+    d, l, v = idx.search(qs, K)
+    rec = recall_at_k(l, v, ol, K)
+    t0 = time.time()
+    for _ in range(QPS_REPS):
+        d, l, v = idx.search(qs, K)
+    qps = QPS_REPS * N_QUERIES / (time.time() - t0)
+    log(f"TPU search: {qps:.0f} QPS (batch {N_QUERIES}, ef={EF_SEARCH}), "
+        f"recall@10={rec:.4f}")
+    return {"build_vps": N / build_s, "qps": qps, "recall": rec}
+
+
+def bench_cpu(pts, qs, n_queries=512):
+    try:
+        from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex
+    except Exception as e:  # pragma: no cover
+        log(f"CPU baseline unavailable: {e}")
+        return None
+    try:
+        idx = CpuRefIndex(DIMS, m=M, ef_construction=EF_CONSTRUCTION)
+    except RuntimeError as e:
+        log(f"CPU baseline unavailable: {e}")
+        return None
+
+    t0 = time.time()
+    idx.build(pts)
+    build_s = time.time() - t0
+    log(f"CPU build {N} vecs: {build_s:.1f}s = {N / build_s:.0f} vec/s "
+        f"(single thread)")
+
+    sub = qs[:n_queries]
+    t0 = time.time()
+    results = [idx.search(q, EF_SEARCH) for q in sub]
+    qps = len(sub) / (time.time() - t0)
+
+    # exact oracle for the same queries (numpy, chunked)
+    oracle = np.zeros((len(sub), K), np.int64)
+    chunk = 20_000
+    for i, q in enumerate(sub):
+        best_d = None
+        best_i = None
+        for s in range(0, N, chunk):
+            d = ((pts[s: s + chunk] - q) ** 2).sum(-1)
+            ii = np.argsort(d)[:K]
+            dd = d[ii]
+            if best_d is None:
+                best_d, best_i = dd, ii + s
+            else:
+                md = np.concatenate([best_d, dd])
+                mi = np.concatenate([best_i, ii + s])
+                o = np.argsort(md)[:K]
+                best_d, best_i = md[o], mi[o]
+        oracle[i] = best_i
+    recs = [len(set(l[:K].astype(np.int64)) & set(oracle[i])) / K
+            for i, (_, l) in enumerate(results)]
+    rec = float(np.mean(recs))
+    log(f"CPU search: {qps:.0f} QPS (single thread, ef={EF_SEARCH}), "
+        f"recall@10={rec:.4f}")
+    return {"build_vps": N / build_s, "qps": qps, "recall": rec}
+
+
+def main():
+    rng = np.random.default_rng(12345)
+    pts, qs = make_data(rng)
+
+    tpu = bench_tpu(pts, qs)
+    cpu = bench_cpu(pts, qs)
+
+    vs = tpu["qps"] / cpu["qps"] if cpu else float("nan")
+    if cpu:
+        log(f"build-rate ratio: {tpu['build_vps'] / cpu['build_vps']:.2f}x; "
+            f"QPS ratio: {vs:.2f}x; recall TPU {tpu['recall']:.3f} vs "
+            f"CPU {cpu['recall']:.3f}")
+    print(json.dumps({
+        "metric": ("SIFT-like 100k 128-d L2 QPS/chip at efsearch=64 "
+                   "(m=16, efc=64), recall@10 in stderr"),
+        "value": round(tpu["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(vs, 3) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
