@@ -45,9 +45,14 @@ class HnswIndex:
 
     def __init__(self, config: HnswConfig, *,
                  initial_capacity: int = 1024,
-                 max_insert_batch: int = 128) -> None:
+                 max_insert_batch: int = 128,
+                 search_expand_width: int = 4) -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
+        # candidates expanded per beam-search step (T): recall(T) ~= recall(1)
+        # with ~T-fold fewer loop iterations (core/search.py docstring);
+        # a serving knob, not part of the index format
+        self.search_expand_width = int(search_expand_width)
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m)
         self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
@@ -136,7 +141,8 @@ class HnswIndex:
             self._graph = insert_batch_masked(
                 self._graph, jnp.asarray(chunk), jnp.int32(cnt),
                 ef_construction=cfg.ef_construction,
-                m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value)
+                m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value,
+                expand_width=self.search_expand_width)
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n
@@ -177,7 +183,8 @@ class HnswIndex:
         queries = self._check_dims(queries)
         ef = self.config.ef_search if ef is None else int(ef)
         d, i, stats = search_graph(self._graph, jnp.asarray(queries), ef=ef,
-                                   metric_value=self.config.metric.value)
+                                   metric_value=self.config.metric.value,
+                                   expand_width=self.search_expand_width)
         self.counters["n_searches"] += queries.shape[0]
         self.counters["n_hops"] += int(np.sum(np.asarray(stats.hops)))
         self.counters["n_dist_evals"] += int(

@@ -18,11 +18,13 @@ TPU formulation:
   - link wiring is applied *sequentially within the batch* (fori_loop), so
     back-link overflow re-pruning sees every earlier update — deterministic,
     no scatter conflicts
-  - batch members do not see each other as search candidates (their links
-    don't exist yet); this is the one divergence from strict serial order.
-    Recall parity vs. the serial reference is established empirically
-    (tests/test_build_parity.py) and the build driver ramps batch sizes
-    1, 2, 4, ... so the early backbone of the graph is near-serial.
+  - batch members cannot reach each other through the graph during the
+    batched search (their links don't exist yet); this is the one divergence
+    from strict serial order. It is repaired by merging brute-force
+    *intra-batch* candidates (earlier batch members, by exact distance) into
+    each element's candidate set before pruning — a superset of what the
+    serial search would have found among them. Recall parity vs. the serial
+    reference is established empirically (tests/test_build_parity.py).
 """
 
 from __future__ import annotations
@@ -164,7 +166,8 @@ def _connect_one(vectors, links, link_counts, cur, kept_i, kept_cnt, enable,
 def insert_batch_core(graph: GraphState, points: jax.Array,
                       n_insert: jax.Array, *, ef_construction: int, m: int,
                       max_m: int, metric_value: int,
-                      cand_cap: int | None = None) -> GraphState:
+                      cand_cap: int | None = None,
+                      expand_width: int = 1) -> GraphState:
     """Insert a batch of points (the aminsert/ambuild hot path,
     embedding.c:606-701 + hnswalg.cpp:225-232). Un-jitted core, also used
     inside shard_map.
@@ -190,7 +193,8 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
 
     # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
     search = functools.partial(_search_one, ef=efc,
-                               metric_value=metric_value, cand_cap=cand_cap)
+                               metric_value=metric_value, cand_cap=cand_cap,
+                               expand_width=expand_width)
     cand_d, cand_i, _, _ = jax.vmap(search, in_axes=(None, 0))(staged, points)
 
     # Intra-batch candidates: under strict serial insertion (the reference),
@@ -238,25 +242,27 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("ef_construction", "m", "max_m", "metric_value",
-                     "cand_cap"))
+                     "cand_cap", "expand_width"))
 def insert_batch(graph: GraphState, points: jax.Array, *,
                  ef_construction: int, m: int, max_m: int, metric_value: int,
-                 cand_cap: int | None = None) -> GraphState:
+                 cand_cap: int | None = None,
+                 expand_width: int = 1) -> GraphState:
     """Jitted full-batch insert (see insert_batch_core)."""
     return insert_batch_core(graph, points, jnp.int32(points.shape[0]),
                              ef_construction=ef_construction, m=m,
                              max_m=max_m, metric_value=metric_value,
-                             cand_cap=cand_cap)
+                             cand_cap=cand_cap, expand_width=expand_width)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ef_construction", "m", "max_m", "metric_value",
-                     "cand_cap"))
+                     "cand_cap", "expand_width"))
 def insert_batch_masked(graph: GraphState, points: jax.Array,
                         n_insert: jax.Array, *, ef_construction: int, m: int,
                         max_m: int, metric_value: int,
-                        cand_cap: int | None = None) -> GraphState:
+                        cand_cap: int | None = None,
+                        expand_width: int = 1) -> GraphState:
     """Jitted masked-tail insert: only the first ``n_insert`` (dynamic) rows
     of ``points`` are inserted.  Because n_insert is traced, every insert —
     full batches and ragged tails alike — shares ONE compiled program per
@@ -265,7 +271,7 @@ def insert_batch_masked(graph: GraphState, points: jax.Array,
     return insert_batch_core(graph, points, n_insert,
                              ef_construction=ef_construction, m=m,
                              max_m=max_m, metric_value=metric_value,
-                             cand_cap=cand_cap)
+                             cand_cap=cand_cap, expand_width=expand_width)
 
 
 def build_schedule(n: int, max_batch: int):

@@ -6,7 +6,7 @@ distance per neighbor visit.  The TPU formulation keeps the exact algorithmic
 contract but restructures the data for XLA:
 
   * priority queues  -> fixed-width distance-sorted arrays maintained by
-                        concat + argsort ("masked merge"), inf/-1 padded
+                        concat + top-k ("masked merge"), inf/-1 padded
   * visited bitset   -> u32-word bitmap per query (same layout as
                         hnswalg.cpp:45-64: word = id >> 5, bit = id & 31),
                         updated with disjoint-bit scatter-adds
@@ -16,23 +16,32 @@ contract but restructures the data for XLA:
                         hnswalg.cpp:69-71)
   * the gating rule  -> dist < worst_kept OR results not full
                         (hnswalg.cpp:99), expressed as a mask
-  * per-neighbor distance calls -> one gather of the whole neighbor row
-                        [maxM, D] + one vectorized distance (the
+  * per-neighbor distance calls -> one gather of T whole neighbor rows
+                        [T*maxM, D] + one vectorized distance (the
                         hnsw_prefetch latency hiding at embedding.c:845-850
                         becomes a single coalesced HBM gather)
   * one query per backend      -> jax.vmap over a query batch
+
+Beam widening (``expand_width`` = T): instead of popping ONE candidate per
+step, pop the best T and expand them together.  Iteration count drops ~T-fold
+and the per-step gather/distance work is T times larger (far better TPU
+utilization).  Semantics: expansion of candidate j is masked unless
+d_j <= lowerBound at the *start* of the step; the reference applies the same
+test against a monotonically-shrinking lowerBound one pop at a time, so the
+T-wide expansion set is a SUPERSET of the reference's — extra expansions can
+only add results, so recall(T) >= recall(1) with the same result-set gate
+(verified in tests/test_search_parity.py::test_expand_width_recall).
 
 Semantic notes (validated against core.refimpl in tests):
   - With results-not-full, the reference's lowerBound (= current worst kept)
     can never be exceeded by any queued candidate (every queued candidate was
     simultaneously pushed into topResults), so padding the result array with
     +inf reproduces both the gate and the termination test exactly.
-  - The candidate queue here is truncated to a static width ``cand_cap``
-    (default ef).  The reference's queue is unbounded, but any truncated
-    candidate is farther than ``cand_cap`` better ones; expansions are
-    best-first and only shrink lowerBound, so truncation only drops
-    candidates that would have failed the termination test with high
-    probability.  Recall parity is established empirically in
+  - The candidate queue is truncated to a static width ``cand_cap`` (default
+    ef).  Any truncated candidate is farther than cand_cap better ones;
+    expansions are best-first and only shrink lowerBound, so truncation only
+    drops candidates that would overwhelmingly have failed the termination
+    test.  Recall parity is established empirically in
     tests/test_search_parity.py (SURVEY.md §7 "hard parts").
 """
 
@@ -51,29 +60,33 @@ _INF = jnp.inf
 
 
 class SearchStats(NamedTuple):
-    hops: jax.Array        # i32[B] — candidate expansions per query
+    hops: jax.Array        # i32[B] — loop steps per query
     dist_evals: jax.Array  # i32[B] — distance computations per query
 
 
 def _merge_topk(d_a, i_a, d_b, i_b, k: int):
     """Merge two (dist, idx) sets, keep the k smallest by distance.
 
-    Stable: on ties, entries of the first (existing) set win — matching the
-    max-heap's keep-the-incumbent behavior closely enough for parity tests.
-    """
+    lax.top_k on negated distances: descending in -d == ascending in d;
+    ties resolve to the lower concatenated position, i.e. incumbents (set a)
+    win — matching the reference heaps' keep-the-incumbent behavior closely
+    enough for parity tests."""
     d = jnp.concatenate([d_a, d_b])
     i = jnp.concatenate([i_a, i_b])
-    order = jnp.argsort(d, stable=True)[:k]
-    return d[order], i[order]
+    neg, sel = jax.lax.top_k(-d, k)
+    return -neg, i[sel]
 
 
 def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
-                metric_value: int, cand_cap: int):
+                metric_value: int, cand_cap: int,
+                expand_width: int = 1):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
-    hops, dist_evals); results ascending, -1/-inf padded."""
+    hops, dist_evals); results ascending, -1/inf padded."""
     cap = graph.capacity
     max_m = graph.max_m
     n_words = cap // 32
+    t = expand_width
+    tm = t * max_m
 
     # --- entry point: node 0, hardwired (embedding.c:235) -----------------
     has_nodes = graph.n_nodes > 0
@@ -88,7 +101,8 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     visited = jnp.zeros((n_words,), jnp.uint32).at[0].set(
         jnp.where(has_nodes, jnp.uint32(1), jnp.uint32(0)))
 
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (max_m, 1), 0)[:, 0]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+    slot_in_row = slot_ids % max_m
 
     def cond(state):
         res_d, res_i, cand_d, cand_i, visited, hops, evals = state
@@ -99,17 +113,24 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
     def body(state):
         res_d, res_i, cand_d, cand_i, visited, hops, evals = state
+        lower_bound = res_d[ef - 1]
 
-        # --- pop best candidate (candidateSet.pop, hnswalg.cpp:73) --------
-        cur = cand_i[0]
-        cand_d = jnp.concatenate([cand_d[1:], jnp.full((1,), _INF,
-                                                       jnp.float32)])
-        cand_i = jnp.concatenate([cand_i[1:], jnp.full((1,), -1, jnp.int32)])
+        # --- pop the best T candidates (candidateSet.pop, hnswalg.cpp:73);
+        # expansion masked where d > lowerBound: those would have terminated
+        # the reference's loop, so this is a superset of its expansions ----
+        pop_d = cand_d[:t]
+        pop_i = cand_i[:t]
+        expand = ~(pop_d > lower_bound) & (pop_i >= 0)
+        cand_d = jnp.concatenate([cand_d[t:],
+                                  jnp.full((t,), _INF, jnp.float32)])
+        cand_i = jnp.concatenate([cand_i[t:], jnp.full((t,), -1, jnp.int32)])
 
-        safe_cur = jnp.maximum(cur, 0)
-        nbrs = graph.links[safe_cur]                     # i32[maxM]
-        cnt = graph.link_counts[safe_cur]
-        valid = (slot_ids < cnt) & (nbrs >= 0)
+        safe_cur = jnp.maximum(pop_i, 0)                 # [T]
+        nbr_rows = graph.links[safe_cur]                 # [T, maxM]
+        cnts = graph.link_counts[safe_cur]               # [T]
+        nbrs = nbr_rows.reshape(tm)
+        valid = ((slot_in_row < jnp.repeat(cnts, max_m)) & (nbrs >= 0) &
+                 jnp.repeat(expand, max_m))
 
         safe_nbrs = jnp.where(valid, nbrs, 0)
         words = safe_nbrs >> 5
@@ -117,9 +138,9 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
         unvisited = (visited[words] & bits) == 0
 
-        # first-occurrence dedupe within the row (link lists should already
-        # be duplicate-free per the reference invariants, but batched
-        # construction must never be able to corrupt the visited bitmap)
+        # first-occurrence dedupe across the expanded rows (two popped
+        # candidates may share neighbors; the visited bitmap must see each
+        # id once so scatter-add stays equivalent to scatter-or)
         eq_earlier = (safe_nbrs[None, :] == safe_nbrs[:, None]) & (
             slot_ids[None, :] < slot_ids[:, None])
         dup = jnp.any(eq_earlier & valid[None, :], axis=1)
@@ -133,7 +154,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
         # --- fused gather + distance (replaces the per-neighbor
         #     begin_read/dist loop, hnswalg.cpp:89-98) ---------------------
-        nvecs = graph.vectors[safe_nbrs]                 # [maxM, D]
+        nvecs = graph.vectors[safe_nbrs]                 # [T*maxM, D]
         dists = dist_one_to_many(query, nvecs, metric_value)
         evals = evals + jnp.sum(process.astype(jnp.int32))
 
@@ -155,9 +176,11 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ef", "metric_value", "cand_cap"))
+                   static_argnames=("ef", "metric_value", "cand_cap",
+                                    "expand_width"))
 def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
-                 metric_value: int, cand_cap: int | None = None
+                 metric_value: int, cand_cap: int | None = None,
+                 expand_width: int = 1
                  ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer.
 
@@ -168,6 +191,8 @@ def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
       ef:      beam width (efSearch / efConstruction).
       metric_value: Metric.value (static).
       cand_cap: candidate-queue width (default ef).
+      expand_width: candidates expanded per loop step (T); recall(T) >=
+               recall(1), iteration count ~1/T (see module docstring).
 
     Returns:
       (dists f32[B, ef] ascending, node ids i32[B, ef] (-1 past end),
@@ -176,7 +201,7 @@ def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
-                           cand_cap=cand_cap)
+                           cand_cap=cand_cap, expand_width=expand_width)
     res_d, res_i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(graph,
                                                                 queries)
     return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)

@@ -65,8 +65,10 @@ class ShardedHnswIndex:
 
     def __init__(self, config: HnswConfig, mesh: Optional[Mesh] = None, *,
                  initial_capacity: int = 1024,
-                 max_insert_batch: int = 128) -> None:
+                 max_insert_batch: int = 128,
+                 search_expand_width: int = 4) -> None:
         self.config = config
+        self.search_expand_width = int(search_expand_width)
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
@@ -140,7 +142,8 @@ class ShardedHnswIndex:
             g = insert_batch_core(g, points[0], n_insert[0],
                                   ef_construction=cfg.ef_construction,
                                   m=cfg.m, max_m=cfg.max_m,
-                                  metric_value=cfg.metric.value)
+                                  metric_value=cfg.metric.value,
+                                  expand_width=self.search_expand_width)
             return _stacked(g)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
@@ -248,7 +251,8 @@ class ShardedHnswIndex:
             q = queries  # replicated: [B, D]
             fn = functools.partial(_search_one, ef=ef,
                                    metric_value=cfg.metric.value,
-                                   cand_cap=ef)
+                                   cand_cap=ef,
+                                   expand_width=self.search_expand_width)
             d, i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(g, q)
             # filter tombstones on-shard before the merge so dead nodes
             # never travel over ICI (searchKnn filter, hnswalg.cpp:245)

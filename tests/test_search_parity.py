@@ -113,3 +113,37 @@ def test_single_node_graph():
     assert int(np.asarray(i)[0, 0]) == 0
     assert (np.asarray(i)[0, 1:] == -1).all()
     assert float(np.asarray(d)[0, 0]) == pytest.approx(2.0)
+
+
+@pytest.mark.parametrize("t", [2, 4, 8])
+def test_expand_width_recall(t):
+    """Beam widening (expand_width=T) expands a superset of the reference's
+    candidates; recall must not regress more than trivially vs T=1."""
+    rng = np.random.default_rng(7)
+    n_clusters, per, d, ef, k = 20, 50, 16, 48, 10
+    centers = rng.normal(scale=5.0, size=(n_clusters, d))
+    pts = (centers[np.repeat(np.arange(n_clusters), per)] +
+           rng.normal(size=(n_clusters * per, d))).astype(np.float32)
+    qs = (centers[rng.integers(0, n_clusters, 16)] +
+          rng.normal(size=(16, d))).astype(np.float32)
+
+    cfg = HnswConfig(dims=d, m=8, ef_construction=48, ef_search=ef)
+    ri = RefHnswIndex(cfg)
+    ri.build(pts, np.arange(len(pts)))
+    g = _graph_from_ref(ri)
+
+    _, oracle = exact_search(qs, pts, k, Metric.L2)
+    oracle = np.asarray(oracle)
+
+    def recall(ti):
+        ti = np.asarray(ti)
+        return np.mean([len(set(ti[i][:k].tolist()) & set(oracle[i])) / k
+                        for i in range(len(qs))])
+
+    _, i1, s1 = search_graph(g, jnp.asarray(qs), ef=ef, metric_value=0,
+                             expand_width=1)
+    _, it, st = search_graph(g, jnp.asarray(qs), ef=ef, metric_value=0,
+                             expand_width=t)
+    assert recall(it) >= recall(i1) - 0.02, (recall(it), recall(i1))
+    # T-wide expansion must cut the iteration count
+    assert np.asarray(st.hops).mean() < np.asarray(s1.hops).mean()
