@@ -285,6 +285,32 @@ class HnswIndex:
         self.counters["n_deleted"] += len(idxs)
         return len(idxs)
 
+    def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
+        """Validate graph invariants — the debug-mode analog of the
+        reference's runtime asserts (SURVEY.md §5 'race detection'):
+        blank-slot / self-link / link-count-bounds checks
+        (hnswalg.cpp:170-177, 183-184, 190-191) plus id-range and
+        -1-padding discipline. Returns violation counts."""
+        n = self.n_nodes
+        links = np.asarray(self._graph.links)[:n]
+        cnts = np.asarray(self._graph.link_counts)[:n]
+        viol = {"count_over_maxm": 0, "self_links": 0, "bad_ids": 0,
+                "dup_links": 0, "pad_violations": 0}
+        viol["count_over_maxm"] = int((cnts > self.config.max_m).sum())
+        slot = np.arange(self.config.max_m)[None, :]
+        in_range = slot < cnts[:, None]
+        viol["self_links"] = int(
+            ((links == np.arange(n)[:, None]) & in_range).sum())
+        viol["bad_ids"] = int(
+            (((links < 0) | (links >= n)) & in_range).sum())
+        viol["pad_violations"] = int(((links != -1) & ~in_range).sum())
+        for i in range(n):
+            row = links[i][: cnts[i]]
+            viol["dup_links"] += int(len(row) - len(np.unique(row)))
+        if raise_on_error and any(viol.values()):
+            raise AssertionError(f"graph integrity violations: {viol}")
+        return viol
+
     def vacuum(self) -> Dict[str, int]:
         """Stats only — space is never reclaimed (amvacuumcleanup,
         embedding.c:867-878)."""
