@@ -69,6 +69,8 @@ class ShardedHnswIndex:
                  search_expand_width: int = 4) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
+        # per-shard auto-routing crossover (see _use_exact)
+        self.exact_threshold = 300_000
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
@@ -96,7 +98,13 @@ class ShardedHnswIndex:
 
     @staticmethod
     def _pad_cap(cap: int) -> int:
-        return max(((int(cap) + 31) // 32) * 32, 32)
+        # multiples of 32 for the visited bitmap; above one exact-sweep
+        # chunk, multiples of 8192 so the sharded exact path can tile the
+        # capacity evenly
+        cap = max(int(cap), 32)
+        if cap > 8192:
+            return ((cap + 8191) // 8192) * 8192
+        return ((cap + 31) // 32) * 32
 
     @property
     def capacity_per_shard(self) -> int:
@@ -287,6 +295,77 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    def _exact_step(self, k: int):
+        """Shard-mapped exact sweep: per-shard tiled brute-force top-k over
+        local vectors, all_gather + global top-k merge — the sharded
+        seq-scan oracle (and the batched serving fast path)."""
+        key = ("exact", k, self.capacity_per_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.config
+        cap = self.capacity_per_shard
+        chunk = min(8192, cap)
+        assert cap % chunk == 0  # guaranteed by _pad_cap
+        from ..ops.distance import pairwise_dist
+
+        def step(arrays, queries):
+            g = _local(arrays)
+            q = queries                                     # [B, D]
+            b = q.shape[0]
+
+            def body(c, carry):
+                top_d, top_i = carry
+                start = c * chunk
+                pts = jax.lax.dynamic_slice_in_dim(g.vectors, start, chunk, 0)
+                dd = jax.lax.dynamic_slice_in_dim(g.deleted, start, chunk, 0)
+                d = pairwise_dist(q, pts, cfg.metric.value)  # [B, chunk]
+                ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk),
+                                                       1)
+                ok = (ids < g.n_nodes) & ~dd[None, :]
+                d = jnp.where(ok, d, jnp.inf)
+                ids = jnp.where(ok, ids, -1)
+                md = jnp.concatenate([top_d, d], axis=1)
+                mi = jnp.concatenate([top_i, ids], axis=1)
+                neg, sel = jax.lax.top_k(-md, k)
+                return -neg, jnp.take_along_axis(mi, sel, axis=1)
+
+            init = (jnp.full((b, k), jnp.inf, jnp.float32),
+                    jnp.full((b, k), -1, jnp.int32))
+            d, i = jax.lax.fori_loop(0, cap // chunk, body, init)
+
+            sid = jax.lax.axis_index(AXIS)
+            gid = jnp.where(i >= 0, sid * cap + i, -1)
+            all_d = jax.lax.all_gather(d, AXIS)             # [S, B, k]
+            all_g = jax.lax.all_gather(gid, AXIS)
+            s = all_d.shape[0]
+            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
+            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * k)
+            neg, sel = jax.lax.top_k(-flat_d, k)
+            return -neg, jnp.take_along_axis(flat_g, sel, axis=1)
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P()),
+            out_specs=(P(), P()), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def exact_search(self, queries, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sharded brute-force exact k-NN (seq-scan ground truth analog,
+        embedding.c:1022-1038), tombstones excluded."""
+        queries = self._check_dims(queries)
+        bq = queries.shape[0]
+        d, g = self._exact_step(int(k))(self._arrays, jnp.asarray(queries))
+        d = np.asarray(d)
+        g = np.asarray(g)
+        cap = self.capacity_per_shard
+        valid = (g >= 0) & np.isfinite(d)
+        safe = np.maximum(g, 0)
+        labels = np.where(valid, self._labels[safe // cap, safe % cap], 0)
+        return d, labels.astype(np.uint64), valid
+
     def _bucket_ef(self, ef: int) -> int:
         base = self.config.ef_search
         b = base
@@ -294,7 +373,14 @@ class ShardedHnswIndex:
             b *= 2
         return b
 
-    def search(self, queries, k: int, ef: Optional[int] = None
+    def _use_exact(self, batch: int) -> bool:
+        """Cost-based routing (see api.HnswIndex._use_exact): per-shard
+        exact cost is O(n_shard), so the crossover scales with the mesh."""
+        per_shard = self.n_nodes / max(self.n_shards, 1)
+        return per_shard <= self.exact_threshold and batch >= 32
+
+    def search(self, queries, k: int, ef: Optional[int] = None,
+               mode: str = "auto"
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Global k-NN: per-shard beam search, all-gather merge, progressive
         ef-doubling when tombstones/small-ef starve a query (the
@@ -302,6 +388,13 @@ class ShardedHnswIndex:
         merged result)."""
         queries = self._check_dims(queries)
         bq = queries.shape[0]
+        if mode not in ("auto", "graph", "exact"):
+            raise ValueError(f"unknown search mode: {mode!r}")
+        if mode == "exact" or (mode == "auto" and self._use_exact(bq)):
+            self.counters["n_searches"] += bq
+            self.counters["n_exact_routed"] = (
+                self.counters.get("n_exact_routed", 0) + bq)
+            return self.exact_search(queries, k)
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(ef)
         qdev = jnp.asarray(queries)
@@ -365,3 +458,79 @@ class ShardedHnswIndex:
         return {"num_nodes": n, "num_live": n - dead, "num_dead": dead,
                 "capacity": self.capacity_per_shard * self.n_shards,
                 "n_shards": self.n_shards}
+
+    # ------------------------------------------------------------------ #
+    # durability
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str) -> None:
+        """Serialize all shards (same format discipline as HnswIndex.save:
+        arrays + config; everything else re-derived on load)."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
+        hi = int(self._counts.max()) if self.n_nodes else 0
+        np.savez_compressed(
+            path,
+            format_version=np.int64(1),
+            config=np.frombuffer(
+                json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
+            n_shards=np.int64(self.n_shards),
+            shard_counts=self._counts.astype(np.int64),
+            vectors=vec[:, :hi],
+            links=lnk[:, :hi],
+            link_counts=cnt[:, :hi],
+            deleted=dlt[:, :hi],
+            labels=self._labels[:, :hi],
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None,
+             config: Optional[HnswConfig] = None) -> "ShardedHnswIndex":
+        """Restore a sharded index. The mesh must have the same number of
+        devices as the saved index had shards (resharding is a rebuild).
+        Frozen-field guard as in HnswIndex.load."""
+        import json
+
+        with np.load(path) as z:
+            stored = HnswConfig.from_dict(
+                json.loads(bytes(z["config"]).decode()))
+            if config is not None:
+                if config.frozen_fields() != stored.frozen_fields():
+                    raise ValueError(
+                        "index was built with different options "
+                        "(dims/m/metric are frozen; only ef* may change)")
+                cfg = config
+            else:
+                cfg = stored
+            s = int(z["n_shards"])
+            counts = z["shard_counts"]
+            vec, lnk, cnt = z["vectors"], z["links"], z["link_counts"]
+            dlt, lab = z["deleted"], z["labels"]
+
+        idx = cls(cfg, mesh=mesh,
+                  initial_capacity=max(int(counts.max()), 32))
+        if idx.n_shards != s:
+            raise ValueError(
+                f"saved index has {s} shards but the mesh has "
+                f"{idx.n_shards} devices; resharding requires a rebuild")
+        cap = idx.capacity_per_shard
+        hi = vec.shape[1]
+        nvec = np.zeros((s, cap, cfg.dims), np.float32)
+        nvec[:, :hi] = vec
+        nlnk = np.full((s, cap, cfg.max_m), -1, np.int32)
+        nlnk[:, :hi] = lnk
+        ncnt = np.zeros((s, cap), np.int32)
+        ncnt[:, :hi] = cnt
+        ndlt = np.zeros((s, cap), bool)
+        ndlt[:, :hi] = dlt
+        shard = NamedSharding(idx.mesh, P(AXIS))
+        idx._arrays = tuple(jax.device_put(a, shard) for a in (
+            nvec, nlnk, ncnt, ndlt, counts.astype(np.int32)))
+        idx._labels = np.zeros((s, cap), np.uint64)
+        idx._labels[:, :hi] = lab
+        idx._counts = counts.astype(np.int64)
+        idx.counters["n_inserted"] = int(counts.sum())
+        return idx

@@ -120,3 +120,65 @@ def test_explicit_small_mesh(corpus):
     sidx.build(pts[:200], np.arange(200))
     _, l, v = sidx.search(qs, 5)
     assert v.all()
+
+
+def test_sharded_exact_search(corpus):
+    pts, qs = corpus
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts, np.arange(len(pts)))
+    single = HnswIndex(cfg)
+    single.build(pts, np.arange(len(pts)))
+    d1, l1, v1 = single.exact_search(qs, 10)
+    d2, l2, v2 = sidx.exact_search(qs, 10)
+    assert v2.all()
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+    # exact excludes tombstones
+    sidx.delete(l2[0][:3])
+    _, l3, _ = sidx.exact_search(qs[:1], 10)
+    assert not (set(l3[0].tolist()) & set(l2[0][:3].tolist()))
+
+
+def test_sharded_mode_routing(corpus):
+    pts, _ = corpus
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts, np.arange(len(pts)))
+    qs = np.random.default_rng(1).normal(size=(64, 16)).astype(np.float32)
+    d_a, l_a, v_a = sidx.search(qs, 10, mode="auto")
+    assert sidx.counters.get("n_exact_routed", 0) == 64
+    d_e, l_e, v_e = sidx.search(qs, 10, mode="exact")
+    np.testing.assert_array_equal(l_a, l_e)
+    d_g, l_g, v_g = sidx.search(qs, 10, mode="graph")
+    rec = np.mean([len(set(l_g[i][v_g[i]]) & set(l_e[i][v_e[i]])) / 10
+                   for i in range(64)])
+    assert rec >= 0.8
+
+
+def test_sharded_save_load(tmp_path, corpus):
+    pts, qs = corpus
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts, np.arange(len(pts)))
+    sidx.delete([5, 6])
+    p = str(tmp_path / "shidx.npz")
+    sidx.save(p)
+    loaded = ShardedHnswIndex.load(p)
+    assert loaded.n_nodes == sidx.n_nodes
+    d1, l1, v1 = sidx.search(qs, 10, mode="graph")
+    d2, l2, v2 = loaded.search(qs, 10, mode="graph")
+    np.testing.assert_array_equal(l1, l2)
+    # frozen-field guard
+    with pytest.raises(ValueError):
+        ShardedHnswIndex.load(p, config=HnswConfig(dims=16, m=9))
+    # ef change allowed
+    l3 = ShardedHnswIndex.load(p, config=cfg.with_ef(ef_search=48))
+    assert l3.config.ef_search == 48
+    # mesh-size mismatch
+    from pg_embedding_tpu.parallel.sharded import default_mesh
+    with pytest.raises(ValueError):
+        ShardedHnswIndex.load(p, mesh=default_mesh(4))
+    # load-then-add keeps working
+    loaded.add(pts[:50], np.arange(1000, 1050))
+    assert loaded.n_nodes == len(pts) + 50
