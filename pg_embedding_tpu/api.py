@@ -46,9 +46,16 @@ class HnswIndex:
     def __init__(self, config: HnswConfig, *,
                  initial_capacity: int = 1024,
                  max_insert_batch: int = 128,
-                 search_expand_width: int = 4) -> None:
+                 search_expand_width: int = 4,
+                 storage_dtype: str = "float32") -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
+        # "float32" (exact, reference precision) or "bfloat16" (halves the
+        # HBM stream and doubles MXU throughput for distance dots; distances
+        # accumulate in f32). A serving/memory knob, persisted on save.
+        if storage_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown storage_dtype: {storage_dtype!r}")
+        self.storage_dtype = storage_dtype
         # candidates expanded per beam-search step (T): recall(T) ~= recall(1)
         # with ~T-fold fewer loop iterations (core/search.py docstring);
         # a serving knob, not part of the index format
@@ -58,7 +65,8 @@ class HnswIndex:
         # batch is large enough; see _use_exact
         self.exact_threshold = 300_000
         self._graph = empty_graph(initial_capacity, config.dims,
-                                  config.max_m)
+                                  config.max_m,
+                                  dtype=jnp.dtype(self.storage_dtype))
         self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
         # host-side mirror of graph.n_nodes: reading the device scalar would
         # force a device sync (and drain the async dispatch pipeline), so the
@@ -160,7 +168,8 @@ class HnswIndex:
             raise RuntimeError("build() requires an empty index; use add()")
         self._graph = empty_graph(
             max(vectors.shape[0] + self.max_insert_batch, 32),
-            self.config.dims, self.config.max_m)
+            self.config.dims, self.config.max_m,
+            dtype=jnp.dtype(self.storage_dtype))
         self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
         self._count = 0
         self.add(vectors, labels)
@@ -358,9 +367,13 @@ class HnswIndex:
         np.savez_compressed(
             path,
             format_version=np.int64(_SAVE_FORMAT_VERSION),
+            storage_dtype=np.frombuffer(
+                self.storage_dtype.encode(), dtype=np.uint8),
             config=np.frombuffer(
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
-            vectors=np.asarray(self._graph.vectors)[:n],
+            # bf16 upcasts losslessly to f32 for serialization (numpy
+            # cannot serialize ml_dtypes); restored to storage_dtype on load
+            vectors=np.asarray(self._graph.vectors[:n], np.float32),
             links=np.asarray(self._graph.links)[:n],
             link_counts=np.asarray(self._graph.link_counts)[:n],
             deleted=np.asarray(self._graph.deleted)[:n],
@@ -386,6 +399,8 @@ class HnswIndex:
                 cfg = config
             else:
                 cfg = stored
+            storage_dtype = (bytes(z["storage_dtype"]).decode()
+                             if "storage_dtype" in z else "float32")
             vectors = z["vectors"]
             links = z["links"]
             link_counts = z["link_counts"]
@@ -393,7 +408,8 @@ class HnswIndex:
             labels = z["labels"]
 
         n = vectors.shape[0]
-        idx = cls(cfg, initial_capacity=max(n, 32))
+        idx = cls(cfg, initial_capacity=max(n, 32),
+                  storage_dtype=storage_dtype)
         cap = idx._graph.capacity
         vec = np.zeros((cap, cfg.dims), np.float32)
         vec[:n] = vectors
@@ -404,7 +420,8 @@ class HnswIndex:
         dlt = np.zeros(cap, bool)
         dlt[:n] = deleted
         idx._graph = GraphState(
-            vectors=jnp.asarray(vec), links=jnp.asarray(lnk),
+            vectors=jnp.asarray(vec, jnp.dtype(storage_dtype)),
+            links=jnp.asarray(lnk),
             link_counts=jnp.asarray(cnt), deleted=jnp.asarray(dlt),
             n_nodes=jnp.int32(n))
         idx._labels[:n] = labels

@@ -186,9 +186,8 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
 
     # stage vectors (they are unreachable until links exist, so staging
     # before the search is safe — new nodes have no in-edges yet)
-    vectors = jax.lax.dynamic_update_slice(graph.vectors,
-                                           points.astype(jnp.float32),
-                                           (base, 0))
+    vectors = jax.lax.dynamic_update_slice(
+        graph.vectors, points.astype(graph.vectors.dtype), (base, 0))
     staged = graph._replace(vectors=vectors)
 
     # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)

@@ -80,20 +80,26 @@ def pairwise_dist(queries: jax.Array, points: jax.Array, metric) -> jax.Array:
     reference where Manhattan is also the scalar-only path (distfunc.c:147).
     """
     m = _metric_value(metric)
+    # bf16 storage signals the fast MXU path: the dot runs in bf16 with f32
+    # accumulation (2x MXU throughput, half the HBM stream); norms always
+    # accumulate in f32. f32 storage keeps the dot in full precision.
+    bf16 = points.dtype == jnp.bfloat16
+    qd = queries.astype(jnp.bfloat16) if bf16 else queries
+    pf = points.astype(jnp.float32)
     if m == Metric.L2.value:
         qq = jnp.sum(queries * queries, axis=-1, keepdims=True)      # [B,1]
-        pp = jnp.sum(points * points, axis=-1)[None, :]              # [1,N]
-        qp = jnp.dot(queries, points.T, preferred_element_type=jnp.float32)
+        pp = jnp.sum(pf * pf, axis=-1)[None, :]                      # [1,N]
+        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32)
         ssd = jnp.maximum(qq + pp - 2.0 * qp, 0.0)
         return jnp.sqrt(ssd)
     if m == Metric.COSINE.value:
-        qp = jnp.dot(queries, points.T, preferred_element_type=jnp.float32)
+        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32)
         nq = jnp.sum(queries * queries, axis=-1, keepdims=True)      # [B,1]
-        npts = jnp.sum(points * points, axis=-1)[None, :]            # [1,N]
+        npts = jnp.sum(pf * pf, axis=-1)[None, :]                    # [1,N]
         return 1.0 - qp * jax.lax.rsqrt(jnp.maximum(nq * npts, 1e-30))
     if m == Metric.MANHATTAN.value:
         # [B,1,D] - [1,N,D] — VPU-bound; callers tile N to bound memory.
-        return jnp.sum(jnp.abs(queries[:, None, :] - points[None, :, :]),
+        return jnp.sum(jnp.abs(queries[:, None, :] - pf[None, :, :]),
                        axis=-1)
     raise ValueError(f"unknown metric: {metric}")
 
