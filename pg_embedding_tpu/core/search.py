@@ -164,6 +164,14 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         new_d = jnp.where(admit, dists, _INF)
         new_i = jnp.where(admit, nbrs, -1)
 
+        # two-stage merge: pre-reduce the T*maxM new entries to the best
+        # min(ef, cand_cap) once, then both queue merges work on the small
+        # set — at most ef/cand_cap survivors can matter for either queue
+        pre = min(max(ef, cand_cap), tm)
+        if tm > pre:
+            neg, sel = jax.lax.top_k(-new_d, pre)
+            new_d, new_i = -neg, new_i[sel]
+
         res_d, res_i = _merge_topk(res_d, res_i, new_d, new_i, ef)
         cand_d, cand_i = _merge_topk(cand_d, cand_i, new_d, new_i, cand_cap)
 
