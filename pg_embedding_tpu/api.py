@@ -320,6 +320,23 @@ class HnswIndex:
         self.counters["n_deleted"] += len(idxs)
         return len(idxs)
 
+    def compact(self) -> "HnswIndex":
+        """Rebuild the index over live (non-tombstoned) vectors only,
+        reclaiming dead space — a capability the reference lacks entirely
+        (space is never reclaimed, embedding.c:867-878; TRUNCATE+reinsert is
+        the only reset, test gh-3). Returns a NEW index; self is untouched."""
+        n = self.n_nodes
+        alive = ~np.asarray(self._graph.deleted)[:n]
+        vecs = np.asarray(self._graph.vectors[:n], np.float32)[alive]
+        labels = self._labels[:n][alive]
+        fresh = HnswIndex(self.config,
+                          max_insert_batch=self.max_insert_batch,
+                          search_expand_width=self.search_expand_width,
+                          storage_dtype=self.storage_dtype)
+        if len(vecs):
+            fresh.build(vecs, labels)
+        return fresh
+
     def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
         """Validate graph invariants — the debug-mode analog of the
         reference's runtime asserts (SURVEY.md §5 'race detection'):
