@@ -20,6 +20,7 @@ Capability map (reference -> here):
 from .config import HnswConfig, HnswConfigError, Metric, resolve_metric
 from .ops.distance import (cosine_distance, l2_distance, manhattan_distance)
 from .ops.bruteforce import exact_search
+from .ops.pallas_bruteforce import pallas_exact_search
 from .api import HnswIndex
 from .parallel.sharded import ShardedHnswIndex
 
@@ -34,6 +35,7 @@ __all__ = [
     "cosine_distance",
     "manhattan_distance",
     "exact_search",
+    "pallas_exact_search",
     "HnswIndex",
     "ShardedHnswIndex",
     "__version__",

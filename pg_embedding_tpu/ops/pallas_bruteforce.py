@@ -2,23 +2,29 @@
 
 The jnp exact path (ops/bruteforce.py) materializes a [B, chunk] distance
 tile to HBM and runs lax.top_k per chunk; the merge dominates.  This kernel
-keeps everything on-chip: the query block stays resident in VMEM, corpus
-tiles stream through VMEM (the Pallas pipeline double-buffers the HBM loads),
-distances are one MXU dot per tile, and an exact running top-k per query is
-maintained in VMEM scratch across grid steps with K selection passes —
-distances never round-trip to HBM.  This is the TPU-native formulation of
-the seq-scan exact path (reference: embedding.c:1022-1038) and the engine
-behind the batched serving fast path; cf. the TPU-KNN approach (PAPERS.md).
+keeps everything on-chip: a query tile stays resident in VMEM, corpus tiles
+stream through VMEM (the Pallas pipeline double-buffers the HBM loads),
+distances are one MXU dot per tile pair, and an exact running top-k per
+query is maintained in VMEM scratch across the corpus dimension with K
+vectorized selection passes — distances never round-trip to HBM.  This is
+the TPU-native formulation of the seq-scan exact path (reference:
+embedding.c:1022-1038) and the engine behind the batched serving fast path;
+cf. the TPU-KNN approach (PAPERS.md).
+
+Layout: everything is QUERY-IN-LANES — scores are [TILE_N, QT] with QT=128
+queries across the 128 VPU lanes, so the per-query min/argmin selection
+reductions run along the SUBLANE axis (the fast reduction direction);
+reducing along lanes instead makes the selection passes dominate the
+kernel.  The running top-k lives as [K, QT] scratch.
 
 Supports L2 and cosine (matmul forms). Manhattan has no matmul form and
 stays on the jnp path.
 
-Layout notes:
-  - grid is 1-D over corpus tiles; Pallas TPU executes grid steps
-    sequentially on the core, so VMEM scratch carries the running top-k
-  - K is padded to a multiple of 8 lanes? No: run_d is [B, K_pad] with
-    K_pad = max(k, 8) kept small; selection passes are vectorized over B
-  - the final grid step writes the scratch to the outputs
+Grid: (query tiles, corpus tiles) — corpus is the MINOR (fastest-moving)
+dimension, so the running top-k scratch carries across corpus steps and is
+re-initialized whenever a new query tile starts.  A tile-level early-out
+skips the selection passes when a corpus tile holds nothing better than the
+current per-query worst (common once the top-k converges).
 """
 
 from __future__ import annotations
@@ -37,69 +43,71 @@ _INF = float("inf")
 
 
 def _insert_pass(run_d, run_i, m, gid):
-    """Vectorized sorted-insert of one (m, gid) per row into ascending
-    [B, K] running arrays."""
-    k = run_d.shape[1]
-    pos = jnp.sum((run_d < m[:, None]).astype(jnp.int32), axis=1)  # [B]
-    cols = jax.lax.broadcasted_iota(jnp.int32, run_d.shape, 1)
-    # shifted-by-one views (previous column), column 0 unused when j > pos
-    prev_d = jnp.concatenate([run_d[:, :1], run_d[:, :-1]], axis=1)
-    prev_i = jnp.concatenate([run_i[:, :1], run_i[:, :-1]], axis=1)
-    at = cols == pos[:, None]
-    after = cols > pos[:, None]
-    new_d = jnp.where(at, m[:, None], jnp.where(after, prev_d, run_d))
-    new_i = jnp.where(at, gid[:, None], jnp.where(after, prev_i, run_i))
+    """Vectorized sorted-insert of one (m, gid) per LANE (query) into
+    ascending [K, QT] running arrays."""
+    pos = jnp.sum((run_d < m[None, :]).astype(jnp.int32), axis=0)  # [QT]
+    rows = jax.lax.broadcasted_iota(jnp.int32, run_d.shape, 0)
+    prev_d = jnp.concatenate([run_d[:1], run_d[:-1]], axis=0)
+    prev_i = jnp.concatenate([run_i[:1], run_i[:-1]], axis=0)
+    at = rows == pos[None, :]
+    after = rows > pos[None, :]
+    new_d = jnp.where(at, m[None, :], jnp.where(after, prev_d, run_d))
+    new_i = jnp.where(at, gid[None, :], jnp.where(after, prev_i, run_i))
     return new_d, new_i
 
 
 def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
-                       del_ref, out_d_ref, out_i_ref, run_d, run_i, *,
-                       k: int, tile_n: int, metric_value: int,
+                       del_ref, out_d_ref, out_i_ref, scores, run_d, run_i,
+                       *, k: int, tile_n: int, metric_value: int,
                        n_tiles: int):
-    step = pl.program_id(0)
+    ti = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(ti == 0)
     def _init():
         run_d[:] = jnp.full_like(run_d[:], _INF)
         run_i[:] = jnp.full_like(run_i[:], -1)
 
-    q = q_ref[:]                                   # [B, D]
+    q = q_ref[:]                                   # [QT, D]
     pts = pts_ref[:]                               # [TILE_N, D]
-    qp = jax.lax.dot_general(
-        q, pts, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [B, TILE_N]
+    # scores transposed: [TILE_N, QT] — queries in lanes
+    pq = jax.lax.dot_general(
+        pts, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [TILE_N, QT]
 
-    pnorm = pnorm_ref[:].reshape(1, tile_n)        # [1, TILE_N] |p|^2
+    pnorm = pnorm_ref[:]                           # [TILE_N, 1] |p|^2
+    qn = qnorm_ref[:]                              # [1, QT]    |q|^2
     if metric_value == Metric.L2.value:
-        qn = qnorm_ref[:].reshape(-1, 1)           # [B, 1] |q|^2
-        scores = jnp.maximum(qn + pnorm - 2.0 * qp, 0.0)
+        s = jnp.maximum(pnorm + qn - 2.0 * pq, 0.0)
     else:  # cosine
-        qn = qnorm_ref[:].reshape(-1, 1)           # [B, 1] |q|^2
-        scores = 1.0 - qp * jax.lax.rsqrt(
-            jnp.maximum(qn * pnorm, 1e-30))
+        s = 1.0 - pq * jax.lax.rsqrt(jnp.maximum(pnorm * qn, 1e-30))
 
-    start = step * tile_n
-    ids = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    dead = del_ref[:].reshape(1, tile_n)
+    start = ti * tile_n
+    ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    dead = del_ref[:]                              # [TILE_N, 1]
     ok = (ids < n_valid_ref[0]) & ~dead
-    scores = jnp.where(ok, scores, _INF)
+    s = jnp.where(ok, s, _INF)
 
-    # exact running top-k: k selection passes over the tile
-    rd, ri = run_d[:], run_i[:]
-    for _ in range(k):
-        m = jnp.min(scores, axis=1)                # [B]
-        a = jnp.argmin(scores, axis=1)             # [B]
-        gid = start + a
-        better = m < rd[:, k - 1]
-        nd, ni = _insert_pass(rd, ri, m, gid)
-        rd = jnp.where(better[:, None], nd, rd)
-        ri = jnp.where(better[:, None], ni, ri)
-        cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(cols == a[:, None], _INF, scores)
-    run_d[:] = rd
-    run_i[:] = ri
+    # tile-level early-out: skip the selection passes when this corpus tile
+    # holds nothing better than the current per-query worst
+    tile_has_candidates = jnp.any(s < run_d[k - 1:k, :])
 
-    @pl.when(step == n_tiles - 1)
+    @pl.when(tile_has_candidates)
+    def _select():
+        scores[:] = s
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        for _ in range(k):
+            sc = scores[:]
+            m = jnp.min(sc, axis=0)                # [QT] sublane reduce
+            a = jnp.argmin(sc, axis=0)             # [QT]
+            gid = start + a
+            rd, ri = run_d[:], run_i[:]
+            better = m < rd[k - 1, :]
+            nd, ni = _insert_pass(rd, ri, m, gid)
+            run_d[:] = jnp.where(better[None, :], nd, rd)
+            run_i[:] = jnp.where(better[None, :], ni, ri)
+            scores[:] = jnp.where(rows == a[None, :], _INF, sc)
+
+    @pl.when(ti == n_tiles - 1)
     def _finish():
         d = run_d[:]
         if metric_value == Metric.L2.value:
@@ -109,59 +117,66 @@ def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric_value", "tile_n",
+                   static_argnames=("k", "metric_value", "tile_n", "tile_q",
                                     "interpret"))
 def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
-                  metric_value: int, tile_n: int, interpret: bool):
+                  metric_value: int, tile_n: int, tile_q: int,
+                  interpret: bool):
     b, d = queries.shape
     n_pad = points.shape[0]
     n_tiles = n_pad // tile_n
-    qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
+    q_tiles = b // tile_q
+    # aux vectors as 2-D: 1-D blocked operands trip Mosaic/XLA layout
+    # tiling mismatches
+    qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
                                metric_value=metric_value, n_tiles=n_tiles)
     out_d, out_i = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(q_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # n_valid
-            pl.BlockSpec((b, d), lambda i: (0, 0),
+            pl.BlockSpec((tile_q, d), lambda qi, ti: (qi, 0),
                          memory_space=pltpu.VMEM),               # queries
-            pl.BlockSpec((b,), lambda i: (0,),
+            pl.BlockSpec((1, tile_q), lambda qi, ti: (0, qi),
                          memory_space=pltpu.VMEM),               # qnorms
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+            pl.BlockSpec((tile_n, d), lambda qi, ti: (ti, 0),
                          memory_space=pltpu.VMEM),               # points tile
-            pl.BlockSpec((tile_n,), lambda i: (i,),
+            pl.BlockSpec((tile_n, 1), lambda qi, ti: (ti, 0),
                          memory_space=pltpu.VMEM),               # pnorm tile
-            pl.BlockSpec((tile_n,), lambda i: (i,),
+            pl.BlockSpec((tile_n, 1), lambda qi, ti: (ti, 0),
                          memory_space=pltpu.VMEM),               # deleted
         ],
         out_specs=(
-            pl.BlockSpec((b, k), lambda i: (0, 0),
+            pl.BlockSpec((k, tile_q), lambda qi, ti: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i: (0, 0),
+            pl.BlockSpec((k, tile_q), lambda qi, ti: (0, qi),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.int32),
+            pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores
+            pltpu.VMEM((k, tile_q), jnp.float32),        # running top-k d
+            pltpu.VMEM((k, tile_q), jnp.int32),          # running top-k i
         ],
         interpret=interpret,
     )(n_valid, queries, qnorms, points, pnorms, deleted)
-    return out_d, out_i
+    # back to [B, K]
+    return out_d.T, out_i.T
 
 
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                         n_valid=None, deleted=None, tile_n: int = 2048,
-                        interpret: bool | None = None):
+                        tile_q: int = 512, interpret: bool | None = None):
     """Exact top-k via the fused Pallas kernel (L2/cosine only).
 
     Same contract as ops.bruteforce.exact_search. ``interpret`` defaults to
-    True off-TPU (CPU tests) and False on TPU.
+    True off-TPU (CPU tests) and False on TPU. The query batch is padded to
+    a multiple of tile_q (lane width); corpus to tile_n.
     """
     from ..config import resolve_metric
 
@@ -175,6 +190,12 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     queries = jnp.asarray(queries, jnp.float32)
     points = jnp.asarray(points)
     n = points.shape[0] if n_valid is None else int(n_valid)
+    b = queries.shape[0]
+
+    tile_q = min(tile_q, max(((b + 7) // 8) * 8, 8))
+    b_pad = ((b + tile_q - 1) // tile_q) * tile_q
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
 
     tile_n = min(tile_n, max(((points.shape[0] + 127) // 128) * 128, 128))
     n_pad = ((points.shape[0] + tile_n - 1) // tile_n) * tile_n
@@ -186,8 +207,10 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-    pnorms = jnp.sum(points.astype(jnp.float32) ** 2, axis=1)
-    return _pallas_exact(queries, points, pnorms, deleted,
-                         jnp.full((1,), n, jnp.int32), k=int(k),
-                         metric_value=metric.value, tile_n=tile_n,
-                         interpret=bool(interpret))
+    pnorms = jnp.sum(points.astype(jnp.float32) ** 2, axis=1)[:, None]
+    out_d, out_i = _pallas_exact(queries, points, pnorms,
+                                 (deleted.astype(jnp.int32) > 0)[:, None],
+                                 jnp.full((1,), n, jnp.int32), k=int(k),
+                                 metric_value=metric.value, tile_n=tile_n,
+                                 tile_q=tile_q, interpret=bool(interpret))
+    return out_d[:b], out_i[:b]

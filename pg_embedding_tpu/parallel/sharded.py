@@ -139,7 +139,8 @@ class ShardedHnswIndex:
         """Shard-mapped SPMD insert program for a given static batch size.
 
         Cached per (batch_size, capacity) so jit retraces are bounded."""
-        key = ("insert", batch_size, self.capacity_per_shard)
+        key = ("insert", batch_size, self.capacity_per_shard,
+               self.search_expand_width)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
@@ -248,7 +249,8 @@ class ShardedHnswIndex:
 
     def _search_step(self, ef: int, k_total: int):
         """Shard-mapped search + ICI all-gather + global top-k merge."""
-        key = ("search", ef, k_total, self.capacity_per_shard)
+        key = ("search", ef, k_total, self.capacity_per_shard,
+               self.search_expand_width)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
