@@ -59,21 +59,45 @@ def _insert_pass(run_d, run_i, m, gid):
 def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
                        del_ref, out_d_ref, out_i_ref, scores, run_d, run_i,
                        *, k: int, tile_n: int, metric_value: int,
-                       n_tiles: int):
+                       n_tiles: int, d_tiles: int):
     ti = pl.program_id(1)
+    di = pl.program_id(2)
 
-    @pl.when(ti == 0)
+    @pl.when((ti == 0) & (di == 0))
     def _init():
         run_d[:] = jnp.full_like(run_d[:], _INF)
         run_i[:] = jnp.full_like(run_i[:], -1)
 
-    q = q_ref[:]                                   # [QT, D]
-    pts = pts_ref[:]                               # [TILE_N, D]
-    # scores transposed: [TILE_N, QT] — queries in lanes
+    q = q_ref[:]                                   # [QT, D_CHUNK]
+    pts = pts_ref[:]                               # [TILE_N, D_CHUNK]
+    # scores transposed: [TILE_N, QT] — queries in lanes. Wide dims
+    # (e.g. GIST 960-d) are tiled over the innermost grid axis and the
+    # query-point dot accumulates into the scores scratch.
     pq = jax.lax.dot_general(
         pts, q, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # [TILE_N, QT]
 
+    @pl.when(di == 0)
+    def _acc_init():
+        scores[:] = pq
+
+    @pl.when(di > 0)
+    def _acc():
+        scores[:] = scores[:] + pq
+
+    @pl.when(di == d_tiles - 1)
+    def _select_phase():
+        _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
+                             out_d_ref, out_i_ref, scores, run_d, run_i,
+                             k=k, tile_n=tile_n, metric_value=metric_value,
+                             n_tiles=n_tiles)
+
+
+def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
+                         out_d_ref, out_i_ref, scores, run_d, run_i, *,
+                         k: int, tile_n: int, metric_value: int,
+                         n_tiles: int):
+    pq = scores[:]                                 # accumulated [TILE_N, QT]
     pnorm = pnorm_ref[:]                           # [TILE_N, 1] |p|^2
     qn = qnorm_ref[:]                              # [1, QT]    |q|^2
     if metric_value == Metric.L2.value:
@@ -118,40 +142,42 @@ def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric_value", "tile_n", "tile_q",
-                                    "interpret"))
+                                    "tile_d", "interpret"))
 def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
-                  metric_value: int, tile_n: int, tile_q: int,
+                  metric_value: int, tile_n: int, tile_q: int, tile_d: int,
                   interpret: bool):
     b, d = queries.shape
     n_pad = points.shape[0]
     n_tiles = n_pad // tile_n
     q_tiles = b // tile_q
+    d_tiles = d // tile_d
     # aux vectors as 2-D: 1-D blocked operands trip Mosaic/XLA layout
     # tiling mismatches
     qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
-                               metric_value=metric_value, n_tiles=n_tiles)
+                               metric_value=metric_value, n_tiles=n_tiles,
+                               d_tiles=d_tiles)
     out_d, out_i = pl.pallas_call(
         kernel,
-        grid=(q_tiles, n_tiles),
+        grid=(q_tiles, n_tiles, d_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # n_valid
-            pl.BlockSpec((tile_q, d), lambda qi, ti: (qi, 0),
+            pl.BlockSpec((tile_q, tile_d), lambda qi, ti, di: (qi, di),
                          memory_space=pltpu.VMEM),               # queries
-            pl.BlockSpec((1, tile_q), lambda qi, ti: (0, qi),
+            pl.BlockSpec((1, tile_q), lambda qi, ti, di: (0, qi),
                          memory_space=pltpu.VMEM),               # qnorms
-            pl.BlockSpec((tile_n, d), lambda qi, ti: (ti, 0),
+            pl.BlockSpec((tile_n, tile_d), lambda qi, ti, di: (ti, di),
                          memory_space=pltpu.VMEM),               # points tile
-            pl.BlockSpec((tile_n, 1), lambda qi, ti: (ti, 0),
+            pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
                          memory_space=pltpu.VMEM),               # pnorm tile
-            pl.BlockSpec((tile_n, 1), lambda qi, ti: (ti, 0),
+            pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
                          memory_space=pltpu.VMEM),               # deleted
         ],
         out_specs=(
-            pl.BlockSpec((k, tile_q), lambda qi, ti: (0, qi),
+            pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile_q), lambda qi, ti: (0, qi),
+            pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -159,7 +185,7 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
             jax.ShapeDtypeStruct((k, b), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores
+            pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores / qp acc
             pltpu.VMEM((k, tile_q), jnp.float32),        # running top-k d
             pltpu.VMEM((k, tile_q), jnp.int32),          # running top-k i
         ],
@@ -192,6 +218,22 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     n = points.shape[0] if n_valid is None else int(n_valid)
     b = queries.shape[0]
 
+    # wide dims (GIST 960-d etc.) are tiled over the innermost grid axis;
+    # zero-padding D changes neither dots nor norms
+    d0 = queries.shape[1]
+    if d0 <= 256:
+        d_pad = max(((d0 + 127) // 128) * 128, 128)
+        tile_d = d_pad
+    else:
+        d_pad = ((d0 + 255) // 256) * 256
+        tile_d = 256
+        # wide dims: shrink the corpus tile so the double-buffered point
+        # tiles + scores scratch stay inside the 16MB VMEM budget
+        tile_n = min(tile_n, 1024)
+    if d_pad != d0:
+        queries = jnp.pad(queries, ((0, 0), (0, d_pad - d0)))
+        points = jnp.pad(points, ((0, 0), (0, d_pad - d0)))
+
     tile_q = min(tile_q, max(((b + 7) // 8) * 8, 8))
     b_pad = ((b + tile_q - 1) // tile_q) * tile_q
     if b_pad != b:
@@ -212,5 +254,6 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                                  (deleted.astype(jnp.int32) > 0)[:, None],
                                  jnp.full((1,), n, jnp.int32), k=int(k),
                                  metric_value=metric.value, tile_n=tile_n,
-                                 tile_q=tile_q, interpret=bool(interpret))
+                                 tile_q=tile_q, tile_d=tile_d,
+                                 interpret=bool(interpret))
     return out_d[:b], out_i[:b]

@@ -64,3 +64,25 @@ def test_manhattan_rejected(rng):
         pallas_exact_search(np.zeros((1, 4), np.float32),
                             np.zeros((4, 4), np.float32), 2,
                             Metric.MANHATTAN)
+
+
+def test_wide_dims_d_tiling(rng):
+    """GIST-like wide vectors (> 256-d) run through the D-tiled grid path."""
+    pts = rng.normal(size=(600, 960)).astype(np.float32)
+    qs = rng.normal(size=(8, 960)).astype(np.float32)
+    d1, i1 = exact_search(qs, pts, 10, Metric.L2)
+    d2, i2 = pallas_exact_search(qs, pts, 10, Metric.L2, tile_n=128,
+                                 tile_q=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_nonmultiple_dims_padding(rng):
+    """D not a multiple of 128 pads with zeros (no effect on distances)."""
+    pts = rng.normal(size=(300, 100)).astype(np.float32)
+    qs = rng.normal(size=(4, 100)).astype(np.float32)
+    d1, i1 = exact_search(qs, pts, 5, Metric.COSINE)
+    d2, i2 = pallas_exact_search(qs, pts, 5, Metric.COSINE, tile_n=128,
+                                 tile_q=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
