@@ -102,14 +102,63 @@ def run_single(name, n, data_dir=None, reps=5):
     for mode in ("graph", "auto"):
         d, l, v = idx.search(qs, K, mode=mode)
         r = recall_at_k(l, v, ol)
+        # synchronous per-batch latency (includes host round trip)
         t0 = time.time()
-        for _ in range(reps):
-            d, l, v = idx.search(qs, K, mode=mode)
-        qps = reps * len(qs) / (time.time() - t0)
-        log(f"[{name}] {mode}: {qps:.0f} QPS recall@10={r:.4f}")
+        idx.search(qs, K, mode=mode)
+        lat = time.time() - t0
+        # streaming throughput: keep the device pipeline full, sync once
+        qps = _streaming_qps(idx, qs, mode, reps)
+        log(f"[{name}] {mode}: {qps:.0f} QPS streaming, "
+            f"{lat * 1000:.0f}ms/batch sync, recall@10={r:.4f}")
         out[f"{mode}_qps"] = round(qps, 1)
         out[f"{mode}_recall"] = round(r, 4)
+        out[f"{mode}_latency_ms"] = round(lat * 1000, 1)
     return out
+
+
+def _streaming_qps(idx, qs, mode, reps):
+    import jax.numpy as jnp
+
+    qdev = jnp.asarray(qs)
+    if hasattr(idx, "graph"):  # single-chip HnswIndex
+        from pg_embedding_tpu.core.search import search_graph
+        from pg_embedding_tpu.ops.bruteforce import exact_search
+        from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
+
+        use_exact = mode == "auto" and idx._use_exact(len(qs))
+        t0 = time.time()
+        if use_exact:
+            try:
+                for _ in range(reps):
+                    dd, _ = pallas_exact_search(
+                        qdev, idx.graph.vectors, K, idx.config.metric,
+                        n_valid=len(idx), deleted=idx.graph.deleted)
+            except ValueError:  # Manhattan: jnp fallback
+                for _ in range(reps):
+                    dd, _ = exact_search(qdev, idx.graph.vectors, K,
+                                         idx.config.metric, n_valid=len(idx),
+                                         deleted=idx.graph.deleted)
+        else:
+            for _ in range(reps):
+                dd, _, _ = search_graph(
+                    idx.graph, qdev, ef=idx.config.ef_search, metric_value=idx.config.metric.value,
+                    expand_width=idx.search_expand_width)
+        np.asarray(dd)
+        return reps * len(qs) / (time.time() - t0)
+    # sharded: the step functions are already device-side
+    if mode == "auto" and idx._use_exact(len(qs)):
+        step = idx._exact_step(K)
+        t0 = time.time()
+        for _ in range(reps):
+            dd, _ = step(idx._arrays, qdev)
+    else:
+        ef = idx.config.ef_search
+        step = idx._search_step(ef, min(K, ef * idx.n_shards))
+        t0 = time.time()
+        for _ in range(reps):
+            dd, _, _ = step(idx._arrays, qdev)
+    np.asarray(dd)
+    return reps * len(qs) / (time.time() - t0)
 
 
 def run_cpu_baseline(name, n, data_dir=None):
