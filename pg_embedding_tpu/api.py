@@ -357,6 +357,34 @@ class HnswIndex:
         self.counters["n_deleted"] += len(idxs)
         return len(idxs)
 
+    def tune_ef_search(self, queries, target_recall: float = 0.95,
+                       k: int = 10, max_ef: int = 4096) -> int:
+        """Find (and set) the smallest power-of-two efSearch whose graph-mode
+        recall@k on ``queries`` meets ``target_recall`` against the exact
+        oracle — the ef/beam autotuner (SURVEY.md §7 step 6). Returns the
+        chosen ef; leaves config.ef_search set to it."""
+        queries = self._check_dims(queries)
+        _, ol, ov = self.exact_search(queries, k)
+        ef = max(self.config.ef_search, k)
+        # round up to power of two
+        ef = 1 << (ef - 1).bit_length()
+        best = ef
+        while ef <= min(max_ef, max(self.n_nodes, 1)):
+            d, i = self.search_ids(queries, ef)
+            alive = np.asarray(self._alive_mask(self._graph.deleted,
+                                                jnp.asarray(i)))
+            recs = []
+            for r in range(queries.shape[0]):
+                got = set(self._labels[i[r][alive[r]][:k]].tolist())
+                want = set(ol[r][ov[r]][:k].tolist())
+                recs.append(len(got & want) / max(len(want), 1))
+            best = ef
+            if float(np.mean(recs)) >= target_recall:
+                break
+            ef *= 2
+        self.set_ef_search(best)
+        return best
+
     def compact(self) -> "HnswIndex":
         """Rebuild the index over live (non-tombstoned) vectors only,
         reclaiming dead space — a capability the reference lacks entirely

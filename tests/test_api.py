@@ -187,3 +187,19 @@ def test_search_mode_routing(corpus):
     assert idx.counters.get("n_exact_routed", 0) == routed
     with pytest.raises(ValueError):
         idx.search(qs, 5, mode="nope")
+
+
+def test_tune_ef_search(corpus):
+    pts, qs = corpus
+    idx = HnswIndex(HnswConfig(dims=24, m=8, ef_construction=48,
+                               ef_search=8))
+    idx.build(pts, np.arange(len(pts)))
+    ef = idx.tune_ef_search(qs, target_recall=0.95, k=10)
+    assert idx.config.ef_search == ef
+    assert ef >= 10
+    # the tuned ef actually delivers the target
+    d, l, v = idx.search(qs, 10, mode="graph")
+    de, le, ve = idx.exact_search(qs, 10)
+    rec = np.mean([len(set(l[i][v[i]]) & set(le[i][ve[i]])) / 10
+                   for i in range(len(qs))])
+    assert rec >= 0.9
