@@ -461,6 +461,50 @@ class ShardedHnswIndex:
                 "capacity": self.capacity_per_shard * self.n_shards,
                 "n_shards": self.n_shards}
 
+    def compact(self) -> "ShardedHnswIndex":
+        """Rebuild over live vectors only (see api.HnswIndex.compact).
+        Returns a NEW sharded index on the same mesh."""
+        counts = self.shard_counts
+        vec = np.asarray(self._arrays[0], np.float32)
+        dlt = np.asarray(self._arrays[3])
+        vecs, labels = [], []
+        for i in range(self.n_shards):
+            alive = ~dlt[i, : counts[i]]
+            vecs.append(vec[i, : counts[i]][alive])
+            labels.append(self._labels[i, : counts[i]][alive])
+        fresh = ShardedHnswIndex(
+            self.config, mesh=self.mesh,
+            max_insert_batch=self.max_insert_batch,
+            search_expand_width=self.search_expand_width)
+        if sum(len(v) for v in vecs):
+            fresh.build(np.concatenate(vecs), np.concatenate(labels))
+        return fresh
+
+    def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
+        """Per-shard graph invariant validation (see api.HnswIndex)."""
+        counts = self.shard_counts
+        links = np.asarray(self._arrays[1])
+        cnts = np.asarray(self._arrays[2])
+        viol = {"count_over_maxm": 0, "self_links": 0, "bad_ids": 0,
+                "dup_links": 0, "pad_violations": 0}
+        slot = np.arange(self.config.max_m)[None, :]
+        for s in range(self.n_shards):
+            n = counts[s]
+            ln = links[s, :n]
+            cn = cnts[s, :n]
+            in_range = slot < cn[:, None]
+            viol["count_over_maxm"] += int((cn > self.config.max_m).sum())
+            viol["self_links"] += int(
+                ((ln == np.arange(n)[:, None]) & in_range).sum())
+            viol["bad_ids"] += int((((ln < 0) | (ln >= n)) & in_range).sum())
+            viol["pad_violations"] += int(((ln != -1) & ~in_range).sum())
+            for i in range(n):
+                row = ln[i][: cn[i]]
+                viol["dup_links"] += int(len(row) - len(np.unique(row)))
+        if raise_on_error and any(viol.values()):
+            raise AssertionError(f"graph integrity violations: {viol}")
+        return viol
+
     # ------------------------------------------------------------------ #
     # durability
     # ------------------------------------------------------------------ #

@@ -182,3 +182,18 @@ def test_sharded_save_load(tmp_path, corpus):
     # load-then-add keeps working
     loaded.add(pts[:50], np.arange(1000, 1050))
     assert loaded.n_nodes == len(pts) + 50
+
+
+def test_sharded_compact_and_integrity(corpus):
+    pts, qs = corpus
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts[:300], np.arange(300))
+    sidx.check_integrity()
+    sidx.delete(np.arange(100, dtype=np.uint64))
+    fresh = sidx.compact()
+    assert fresh.n_nodes == 200
+    assert fresh.vacuum()["num_dead"] == 0
+    fresh.check_integrity()
+    _, l, v = fresh.search(qs[:2], 5, mode="graph")
+    assert not (set(l[v].tolist()) & set(range(100)))
