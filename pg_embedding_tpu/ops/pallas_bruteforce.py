@@ -196,8 +196,11 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
 
 
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
-                        n_valid=None, deleted=None, tile_n: int = 2048,
+                        n_valid=None, deleted=None, tile_n: int = 1536,
                         tile_q: int = 512, interpret: bool | None = None):
+    # tile_n=1536 keeps the scores scratch + double-buffered tiles inside
+    # the 16MB VMEM scoped budget for BOTH metrics (the cosine finalize
+    # needs ~0.7MB more stack than L2; 2048 fits L2 only)
     """Exact top-k via the fused Pallas kernel (L2/cosine only).
 
     Same contract as ops.bruteforce.exact_search. ``interpret`` defaults to
