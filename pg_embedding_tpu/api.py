@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import HnswConfig, Metric, resolve_metric
+from .config import HnswConfig, Metric
 from .core.build import build_schedule, insert_batch_masked
 from .core.graph import GraphState, empty_graph, grow_graph
 from .core.search import search_graph

@@ -30,7 +30,6 @@ TPU formulation:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

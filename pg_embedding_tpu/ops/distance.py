@@ -26,8 +26,6 @@ tests pin ordering equivalence on realistic data).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
