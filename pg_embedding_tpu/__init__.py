@@ -23,6 +23,7 @@ from .ops.bruteforce import exact_search
 from .ops.pallas_bruteforce import pallas_exact_search
 from .api import HnswIndex
 from .parallel.sharded import ShardedHnswIndex
+from .table import VectorTable
 
 __version__ = "0.1.0"
 
@@ -38,5 +39,6 @@ __all__ = [
     "pallas_exact_search",
     "HnswIndex",
     "ShardedHnswIndex",
+    "VectorTable",
     "__version__",
 ]
