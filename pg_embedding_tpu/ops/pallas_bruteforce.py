@@ -195,11 +195,9 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
 
 
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
-                        n_valid=None, deleted=None, tile_n: int = 1536,
-                        tile_q: int = 512, interpret: bool | None = None):
-    # tile_n=1536 keeps the scores scratch + double-buffered tiles inside
-    # the 16MB VMEM scoped budget for BOTH metrics (the cosine finalize
-    # needs ~0.7MB more stack than L2; 2048 fits L2 only)
+                        n_valid=None, deleted=None, tile_n: int | None = None,
+                        tile_q: int | None = None,
+                        interpret: bool | None = None):
     """Exact top-k via the fused Pallas kernel (L2/cosine only).
 
     Same contract as ops.bruteforce.exact_search. ``interpret`` defaults to
@@ -219,6 +217,17 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     points = jnp.asarray(points)
     n = points.shape[0] if n_valid is None else int(n_valid)
     b = queries.shape[0]
+
+    # Tile auto-selection (measured on v5e, 100k x 128d x 1024 queries):
+    #   L2 narrow:  tq=1024/tn=1536 -> 135k QPS (corpus streams once/batch)
+    #   cosine:     tq=512/tn=1536  -> 46k (its finalize needs ~50% more
+    #               VMEM stack than L2; bigger tiles OOM the 16MB budget)
+    #   wide d>256: tq=512/tn=1024  -> 28k at 960-d
+    wide = queries.shape[1] > 256
+    if tile_q is None:
+        tile_q = 1024 if (metric is Metric.L2 and not wide) else 512
+    if tile_n is None:
+        tile_n = 1024 if wide else 1536
 
     # wide dims (GIST 960-d etc.) are tiled over the innermost grid axis;
     # zero-padding D changes neither dots nor norms
