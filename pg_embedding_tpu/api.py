@@ -34,7 +34,7 @@ import numpy as np
 from .config import HnswConfig, Metric
 from .core.build import build_schedule, insert_batch_masked
 from .core.graph import GraphState, empty_graph, grow_graph
-from .core.search import search_graph
+from .core.search import search_graph, search_graph_quantized
 from .ops.bruteforce import exact_search as _bruteforce
 from .ops.pallas_bruteforce import pallas_exact_search as _pallas_bruteforce
 
@@ -48,7 +48,8 @@ class HnswIndex:
                  initial_capacity: int = 1024,
                  max_insert_batch: int = 128,
                  search_expand_width: int = 4,
-                 storage_dtype: str = "float32") -> None:
+                 storage_dtype: str = "float32",
+                 quantized_traversal: bool = False) -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
         # "float32" (exact, reference precision) or "bfloat16" (halves the
@@ -68,6 +69,12 @@ class HnswIndex:
         # sweep does ~20.7k QPS (recall 1.0) vs ~1.9k for the graph walk;
         # exact scales ~1/N, the graph ~log N, crossing near ~8M rows
         self.exact_threshold = 4_000_000
+        # int8 traversal with exact rerank: quarters the graph walk's HBM
+        # gather bytes (its measured bottleneck); the int8 shadow copy is
+        # (re)built lazily after inserts. Serving knob, off by default.
+        self.quantized_traversal = bool(quantized_traversal)
+        self._qvec = None
+        self._qscale = None
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m,
                                   dtype=jnp.dtype(self.storage_dtype))
@@ -162,6 +169,7 @@ class HnswIndex:
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n
+        self._qvec = None  # quantized shadow is stale after inserts
         return np.arange(base, base + n, dtype=np.int64)
 
     def build(self, vectors, labels=None) -> None:
@@ -199,14 +207,40 @@ class HnswIndex:
         ascending, -1 padded, tombstones NOT filtered."""
         queries = self._check_dims(queries)
         ef = self.config.ef_search if ef is None else int(ef)
-        d, i, stats = search_graph(self._graph, jnp.asarray(queries), ef=ef,
-                                   metric_value=self.config.metric.value,
-                                   expand_width=self.search_expand_width)
+        d, i, stats = self._graph_search(jnp.asarray(queries), ef)
         self.counters["n_searches"] += queries.shape[0]
         self.counters["n_hops"] += int(np.sum(np.asarray(stats.hops)))
         self.counters["n_dist_evals"] += int(
             np.sum(np.asarray(stats.dist_evals)))
         return np.asarray(d), np.asarray(i)
+
+    def _graph_search(self, qdev, ef):
+        if self.quantized_traversal:
+            qv, qs = self._ensure_quantized()
+            return search_graph_quantized(
+                self._graph, qdev, qv, qs, ef=ef,
+                metric_value=self.config.metric.value,
+                expand_width=self.search_expand_width)
+        return search_graph(self._graph, qdev, ef=ef,
+                            metric_value=self.config.metric.value,
+                            expand_width=self.search_expand_width)
+
+    @staticmethod
+    @jax.jit
+    def _quantize(vectors, n_nodes):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (vectors.shape[0], 1),
+                                        0)[:, 0]
+        live = (rows < n_nodes)[:, None]
+        v = jnp.where(live, vectors.astype(jnp.float32), 0.0)
+        scale = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def _ensure_quantized(self):
+        if self._qvec is None:
+            self._qvec, self._qscale = self._quantize(
+                self._graph.vectors, self._graph.n_nodes)
+        return self._qvec, self._qscale
 
     @staticmethod
     @jax.jit
@@ -260,10 +294,7 @@ class HnswIndex:
         qdev = jnp.asarray(queries)
 
         while True:
-            dd, ii, stats = search_graph(
-                self._graph, qdev, ef=ef,
-                metric_value=self.config.metric.value,
-                expand_width=self.search_expand_width)
+            dd, ii, stats = self._graph_search(qdev, ef)
             alive_dev = self._alive_mask(self._graph.deleted, ii)
             d = np.asarray(dd)
             i = np.asarray(ii)

@@ -79,9 +79,19 @@ def _merge_topk(d_a, i_a, d_b, i_b, k: int):
 
 def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                 metric_value: int, cand_cap: int,
-                expand_width: int = 1):
+                expand_width: int = 1, qvectors=None, qscale=None):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
-    hops, dist_evals); results ascending, -1/inf padded."""
+    hops, dist_evals); results ascending, -1/inf padded.
+
+    Quantized traversal: when ``qvectors`` (int8[cap, D]) and ``qscale``
+    (f32 scalar) are given, the hot-loop neighbor gathers move int8 rows and
+    the final ef results are RERANKED with exact full-precision distances,
+    so returned distances keep reference semantics and only the traversal
+    order is approximate (cf. quantize-then-rerank, PAPERS.md AQR-HNSW).
+    Measured on v5e at 1M x 128d: throughput-neutral (the random row gather
+    is transaction-bound, not byte-bound) with a small recall gain from the
+    rerank; its practical value is the 4x smaller traversal copy for
+    memory-tight serving."""
     cap = graph.capacity
     max_m = graph.max_m
     n_words = cap // 32
@@ -153,8 +163,12 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         visited = visited.at[words].add(add_bits)
 
         # --- fused gather + distance (replaces the per-neighbor
-        #     begin_read/dist loop, hnswalg.cpp:89-98) ---------------------
-        nvecs = graph.vectors[safe_nbrs]                 # [T*maxM, D]
+        #     begin_read/dist loop, hnswalg.cpp:89-98); int8 traversal
+        #     gathers quarter the bytes and dequantizes in-register --------
+        if qvectors is not None:
+            nvecs = qvectors[safe_nbrs].astype(jnp.float32) * qscale
+        else:
+            nvecs = graph.vectors[safe_nbrs]             # [T*maxM, D]
         dists = dist_one_to_many(query, nvecs, metric_value)
         evals = evals + jnp.sum(process.astype(jnp.int32))
 
@@ -180,7 +194,35 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     state = (res_d, res_i, cand_d, cand_i, visited, jnp.int32(0),
              jnp.int32(0))
     res_d, res_i, _, _, _, hops, evals = jax.lax.while_loop(cond, body, state)
+    if qvectors is not None:
+        # exact rerank of the ef results (full-precision distances, exact
+        # ordering among the surfaced candidates)
+        fvecs = graph.vectors[jnp.maximum(res_i, 0)]
+        rd = dist_one_to_many(query, fvecs, metric_value)
+        rd = jnp.where(res_i >= 0, rd, _INF)
+        neg, sel = jax.lax.top_k(-rd, ef)
+        res_d, res_i = -neg, res_i[sel]
     return res_d, res_i, hops, evals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ef", "metric_value", "cand_cap",
+                                    "expand_width"))
+def search_graph_quantized(graph: GraphState, queries: jax.Array,
+                           qvectors: jax.Array, qscale: jax.Array, *,
+                           ef: int, metric_value: int,
+                           cand_cap: int | None = None, expand_width: int = 1
+                           ) -> Tuple[jax.Array, jax.Array, SearchStats]:
+    """Batched searchBaseLayer with int8 quantized traversal + exact
+    rerank (see _search_one). qvectors: int8[cap, D]; qscale: f32 scalar."""
+    if cand_cap is None:
+        cand_cap = ef
+    fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
+                           cand_cap=cand_cap, expand_width=expand_width)
+    res_d, res_i, hops, evals = jax.vmap(
+        lambda g, q, qv, qsc: fn(g, q, qvectors=qv, qscale=qsc),
+        in_axes=(None, 0, None, None))(graph, queries, qvectors, qscale)
+    return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)
 
 
 @functools.partial(jax.jit,
