@@ -259,8 +259,30 @@ class HnswIndex:
         graph cost ~ O(batch * hops).  Tunable via exact_threshold."""
         return (self.n_nodes <= self.exact_threshold and batch >= 32)
 
+    def _filter_to_excluded(self, where) -> Optional[jax.Array]:
+        """Normalize a search filter into a device 'excluded' bool[cap]
+        array. ``where`` is either a bool mask over node ids (True = allowed)
+        or an array of allowed labels (predicate pushdown — a capability the
+        reference lacks; filtered rows behave exactly like tombstones:
+        routable waypoints excluded from results)."""
+        if where is None:
+            return None
+        n = self.n_nodes
+        where = np.asarray(where)
+        if where.dtype == bool:
+            allowed = where.reshape(-1)
+            if allowed.shape[0] < n:
+                raise ValueError(
+                    f"filter mask covers {allowed.shape[0]} of {n} nodes")
+            allowed = allowed[:n]
+        else:
+            allowed = np.isin(self._labels[:n], where.astype(np.uint64))
+        excluded = np.ones(self._graph.capacity, bool)
+        excluded[:n] = ~allowed
+        return jnp.asarray(excluded)
+
     def search(self, queries, k: int, ef: Optional[int] = None,
-               mode: str = "auto"
+               mode: str = "auto", where=None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """k-NN search with tombstone filtering and progressive ef-doubling.
 
@@ -275,6 +297,11 @@ class HnswIndex:
         brute-force MXU sweep (recall 1.0), "auto" (default) routes by the
         cost model in ``_use_exact`` — the planner analog.
 
+        ``where``: optional filter (predicate pushdown) — a bool mask over
+        node ids (True = allowed) or an array of allowed labels. Filtered
+        nodes act like tombstones: the graph still routes through them but
+        they never surface, and the widening loop compensates.
+
         Returns (dists f32[B, k], labels u64[B, k], valid bool[B, k]); rows
         are ascending by distance, invalid slots padded with inf/0/False.
         """
@@ -282,20 +309,25 @@ class HnswIndex:
         b = queries.shape[0]
         if mode not in ("auto", "graph", "exact"):
             raise ValueError(f"unknown search mode: {mode!r}")
+        excluded = self._filter_to_excluded(where)
         if mode == "exact" or (mode == "auto" and self._use_exact(b)):
             self.counters["n_searches"] += b
             self.counters["n_exact_routed"] = (
                 self.counters.get("n_exact_routed", 0) + b)
-            return self.exact_search(queries, k)
+            return self.exact_search(queries, k, excluded=excluded)
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(max(ef, 1))
 
         n = self.n_nodes
+        if excluded is not None:
+            n = int(n - np.asarray(excluded)[: self.n_nodes].sum())
         qdev = jnp.asarray(queries)
+        dead = (self._graph.deleted if excluded is None
+                else self._graph.deleted | excluded)
 
         while True:
             dd, ii, stats = self._graph_search(qdev, ef)
-            alive_dev = self._alive_mask(self._graph.deleted, ii)
+            alive_dev = self._alive_mask(dead, ii)
             d = np.asarray(dd)
             i = np.asarray(ii)
             self.counters["n_searches"] += b
@@ -307,9 +339,12 @@ class HnswIndex:
             n_alive = alive.sum(axis=1)
             n_found = found.sum(axis=1)
             # widen if some query still lacks k live results AND its search
-            # filled the whole beam (=> more graph remains to explore)
+            # filled the whole beam (=> more graph remains to explore);
+            # the satisfaction target uses the ALLOWED row count, but ef may
+            # keep growing toward the full graph size (filtered/tombstoned
+            # nodes occupy beam slots without surfacing)
             need_more = (n_alive < min(k, n)) & (n_found >= ef)
-            if not need_more.any() or ef >= max(n, 1):
+            if not need_more.any() or ef >= max(self.n_nodes, 1):
                 break
             ef = self._bucket_ef(ef * 2)
             self.counters["n_widenings"] += 1
@@ -325,18 +360,23 @@ class HnswIndex:
             out_v[row, :m] = True
         return out_d, out_l, out_v
 
-    def exact_search(self, queries, k: int, engine: str = "auto"
+    def exact_search(self, queries, k: int, engine: str = "auto",
+                     excluded=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Brute-force exact k-NN over live vectors — the seq-scan ground
         truth (embedding.c:1022-1038; test/sql/knn.sql:41-44).
 
         ``engine``: "pallas" uses the fused MXU kernel (L2/cosine, ~1.5x the
         jnp path on TPU, exact), "jnp" the chunked lax.top_k path, "auto"
-        picks pallas on TPU when the metric supports it."""
+        picks pallas on TPU when the metric supports it.
+        ``excluded``: optional bool[cap] device mask of additional rows to
+        skip (the filtered-search pushdown)."""
         queries = self._check_dims(queries)
         n = self.n_nodes
         if engine not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown exact engine: {engine!r}")
+        dead = (self._graph.deleted if excluded is None
+                else self._graph.deleted | excluded)
         use_pallas = (engine == "pallas" or (
             engine == "auto"
             and jax.default_backend() in ("tpu", "axon")
@@ -345,11 +385,11 @@ class HnswIndex:
             d, i = _pallas_bruteforce(jnp.asarray(queries),
                                       self._graph.vectors, k,
                                       self.config.metric, n_valid=n,
-                                      deleted=self._graph.deleted)
+                                      deleted=dead)
         else:
             d, i = _bruteforce(jnp.asarray(queries), self._graph.vectors, k,
                                self.config.metric, n_valid=n,
-                               deleted=self._graph.deleted)
+                               deleted=dead)
         d = np.asarray(d)
         i = np.asarray(i)
         valid = i >= 0

@@ -1,0 +1,81 @@
+"""Filtered search (predicate pushdown) — beyond the reference; filtered
+rows behave exactly like tombstones (routable, never surfaced)."""
+
+import numpy as np
+import pytest
+
+from pg_embedding_tpu import HnswConfig, HnswIndex
+
+
+@pytest.fixture(scope="module")
+def built(rng):
+    pts = rng.normal(size=(500, 16)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dims=16, m=8, ef_construction=48,
+                               ef_search=32))
+    # labels: even = category A, odd = category B
+    idx.build(pts, np.arange(500))
+    return idx, pts
+
+
+def test_filter_by_labels(built, rng):
+    idx, pts = built
+    qs = rng.normal(size=(8, 16)).astype(np.float32)
+    evens = np.arange(0, 500, 2, dtype=np.uint64)
+    for mode in ("graph", "exact"):
+        d, l, v = idx.search(qs, 10, mode=mode, where=evens)
+        assert v.all()
+        assert (l[v] % 2 == 0).all()
+    # results match an exact search restricted to evens
+    d_e, l_e, v_e = idx.search(qs, 10, mode="exact", where=evens)
+    d_g, l_g, v_g = idx.search(qs, 10, mode="graph", where=evens)
+    rec = np.mean([len(set(l_g[i][v_g[i]]) & set(l_e[i][v_e[i]])) / 10
+                   for i in range(8)])
+    assert rec >= 0.85, rec
+
+
+def test_filter_by_mask(built, rng):
+    idx, pts = built
+    qs = rng.normal(size=(4, 16)).astype(np.float32)
+    mask = np.zeros(500, bool)
+    mask[100:200] = True
+    d, l, v = idx.search(qs, 5, mode="graph", where=mask)
+    assert v.all()
+    assert ((l[v] >= 100) & (l[v] < 200)).all()
+
+
+def test_filter_widening_compensates(built, rng):
+    """A narrow filter starves the initial beam; the ef-doubling loop must
+    still produce k results."""
+    idx, pts = built
+    qs = rng.normal(size=(2, 16)).astype(np.float32)
+    narrow = np.arange(0, 500, 25, dtype=np.uint64)  # 20 allowed rows
+    d, l, v = idx.search(qs, 10, mode="graph", where=narrow)
+    assert v.sum(axis=1).min() == 10
+    assert set(l[v].tolist()) <= set(narrow.tolist())
+
+
+def test_filter_plus_tombstones(built, rng):
+    idx, pts = built
+    qs = rng.normal(size=(2, 16)).astype(np.float32)
+    idx2 = HnswIndex(HnswConfig(dims=16, m=8, ef_construction=48,
+                                ef_search=32))
+    idx2.build(pts, np.arange(500))
+    idx2.delete(np.arange(0, 100, dtype=np.uint64))
+    allowed = np.arange(0, 300, dtype=np.uint64)
+    d, l, v = idx2.search(qs, 10, where=allowed, mode="graph")
+    got = l[v]
+    assert (got >= 100).all() and (got < 300).all()
+
+
+def test_filter_mask_too_short(built):
+    idx, _ = built
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((1, 16), np.float32), 3,
+                   where=np.zeros(10, bool))
+
+
+def test_filter_empty_allowed(built, rng):
+    idx, _ = built
+    qs = rng.normal(size=(1, 16)).astype(np.float32)
+    d, l, v = idx.search(qs, 5, where=np.zeros(500, bool))
+    assert not v.any()
