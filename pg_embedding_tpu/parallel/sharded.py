@@ -256,8 +256,9 @@ class ShardedHnswIndex:
         cfg = self.config
         cap = self.capacity_per_shard
 
-        def step(arrays, queries):
+        def step(arrays, queries, excluded):
             g = _local(arrays)
+            g = g._replace(deleted=g.deleted | excluded[0])
             q = queries  # replicated: [B, D]
             fn = functools.partial(_search_one, ef=ef,
                                    metric_value=cfg.metric.value,
@@ -292,7 +293,7 @@ class ShardedHnswIndex:
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
-            in_specs=(spec, P()),
+            in_specs=(spec, P(), P(AXIS)),
             out_specs=(P(), P(), P()), check_vma=False))
         self._step_cache[key] = fn
         return fn
@@ -310,8 +311,9 @@ class ShardedHnswIndex:
         assert cap % chunk == 0  # guaranteed by _pad_cap
         from ..ops.distance import pairwise_dist
 
-        def step(arrays, queries):
+        def step(arrays, queries, excluded):
             g = _local(arrays)
+            g = g._replace(deleted=g.deleted | excluded[0])
             q = queries                                     # [B, D]
             b = q.shape[0]
 
@@ -348,18 +350,34 @@ class ShardedHnswIndex:
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
-            in_specs=(spec, P()),
+            in_specs=(spec, P(), P(AXIS)),
             out_specs=(P(), P()), check_vma=False))
         self._step_cache[key] = fn
         return fn
 
-    def exact_search(self, queries, k: int
+    def _filter_to_excluded(self, where):
+        """Allowed-labels filter -> per-shard excluded bool[S, cap] on the
+        mesh (sharded predicate pushdown; only label filters are supported
+        here — node-id masks are a single-chip concept)."""
+        cap = self.capacity_per_shard
+        excluded = np.zeros((self.n_shards, cap), bool)
+        if where is not None:
+            allowed = np.asarray(where).astype(np.uint64)
+            counts = self.shard_counts
+            for i in range(self.n_shards):
+                excluded[i, : counts[i]] = ~np.isin(
+                    self._labels[i, : counts[i]], allowed)
+        return jax.device_put(excluded,
+                              NamedSharding(self.mesh, P(AXIS)))
+
+    def exact_search(self, queries, k: int, where=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Sharded brute-force exact k-NN (seq-scan ground truth analog,
-        embedding.c:1022-1038), tombstones excluded."""
+        embedding.c:1022-1038), tombstones (and filtered rows) excluded."""
         queries = self._check_dims(queries)
         bq = queries.shape[0]
-        d, g = self._exact_step(int(k))(self._arrays, jnp.asarray(queries))
+        d, g = self._exact_step(int(k))(self._arrays, jnp.asarray(queries),
+                                        self._filter_to_excluded(where))
         d = np.asarray(d)
         g = np.asarray(g)
         cap = self.capacity_per_shard
@@ -382,12 +400,13 @@ class ShardedHnswIndex:
         return per_shard <= self.exact_threshold and batch >= 32
 
     def search(self, queries, k: int, ef: Optional[int] = None,
-               mode: str = "auto"
+               mode: str = "auto", where=None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Global k-NN: per-shard beam search, all-gather merge, progressive
         ef-doubling when tombstones/small-ef starve a query (the
         hnsw_gettuple widening loop, embedding.c:329-366, applied to the
-        merged result)."""
+        merged result). ``where``: optional allowed-labels filter (predicate
+        pushdown; filtered rows act like tombstones)."""
         queries = self._check_dims(queries)
         bq = queries.shape[0]
         if mode not in ("auto", "graph", "exact"):
@@ -396,22 +415,25 @@ class ShardedHnswIndex:
             self.counters["n_searches"] += bq
             self.counters["n_exact_routed"] = (
                 self.counters.get("n_exact_routed", 0) + bq)
-            return self.exact_search(queries, k)
+            return self.exact_search(queries, k, where=where)
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(ef)
         qdev = jnp.asarray(queries)
+        excluded = self._filter_to_excluded(where)
 
         n = self.n_nodes
+        if where is not None:
+            n = int(n - np.asarray(excluded).sum())
         while True:
             d, g, found = self._search_step(ef, min(k, ef * self.n_shards))(
-                self._arrays, qdev)
+                self._arrays, qdev, excluded)
             d = np.asarray(d)
             g = np.asarray(g)
             alive = (g >= 0) & np.isfinite(d)
             n_alive = alive.sum(axis=1)
             need_more = (n_alive < min(k, n)) & \
                         (np.asarray(found) >= ef * self.n_shards)
-            if not need_more.any() or ef >= max(n, 1):
+            if not need_more.any() or ef >= max(self.n_nodes, 1):
                 break
             ef = self._bucket_ef(ef * 2)
             self.counters["n_widenings"] += 1

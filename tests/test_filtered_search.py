@@ -79,3 +79,24 @@ def test_filter_empty_allowed(built, rng):
     qs = rng.normal(size=(1, 16)).astype(np.float32)
     d, l, v = idx.search(qs, 5, where=np.zeros(500, bool))
     assert not v.any()
+
+
+def test_sharded_filtered_search(rng):
+    from pg_embedding_tpu import ShardedHnswIndex
+
+    pts = rng.normal(size=(400, 16)).astype(np.float32)
+    qs = rng.normal(size=(8, 16)).astype(np.float32)
+    cfg = HnswConfig(dims=16, m=8, ef_construction=32, ef_search=32)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts, np.arange(400))
+    evens = np.arange(0, 400, 2, dtype=np.uint64)
+    for mode in ("graph", "exact"):
+        d, l, v = sidx.search(qs, 10, mode=mode, where=evens)
+        assert v.all()
+        assert (l[v] % 2 == 0).all()
+    # agreement between the two filtered engines
+    _, le, ve = sidx.search(qs, 10, mode="exact", where=evens)
+    _, lg, vg = sidx.search(qs, 10, mode="graph", where=evens)
+    rec = np.mean([len(set(lg[i][vg[i]]) & set(le[i][ve[i]])) / 10
+                   for i in range(8)])
+    assert rec >= 0.85, rec
