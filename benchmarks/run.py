@@ -145,18 +145,20 @@ def _streaming_qps(idx, qs, mode, reps):
                     expand_width=idx.search_expand_width)
         np.asarray(dd)
         return reps * len(qs) / (time.time() - t0)
-    # sharded: the step functions are already device-side
+    # sharded: the step functions are already device-side (they take a
+    # third per-shard `excluded` operand since the filtered-search change)
+    excl = idx._filter_to_excluded(None)
     if mode == "auto" and idx._use_exact(len(qs)):
         step = idx._exact_step(K)
         t0 = time.time()
         for _ in range(reps):
-            dd, _ = step(idx._arrays, qdev)
+            dd, _ = step(idx._arrays, qdev, excl)
     else:
         ef = idx.config.ef_search
         step = idx._search_step(ef, min(K, ef * idx.n_shards))
         t0 = time.time()
         for _ in range(reps):
-            dd, _, _ = step(idx._arrays, qdev)
+            dd, _, _ = step(idx._arrays, qdev, excl)
     np.asarray(dd)
     return reps * len(qs) / (time.time() - t0)
 

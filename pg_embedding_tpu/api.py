@@ -41,6 +41,12 @@ from .ops.pallas_bruteforce import pallas_exact_search as _pallas_bruteforce
 _SAVE_FORMAT_VERSION = 1
 
 
+def _npz_path(path: str) -> str:
+    """np.savez_compressed appends '.npz' to suffix-less paths; normalize so
+    save(p) / load(p) are symmetric for any p."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 class HnswIndex:
     """Flat-NSW approximate nearest neighbor index on TPU."""
 
@@ -232,8 +238,11 @@ class HnswIndex:
                                         0)[:, 0]
         live = (rows < n_nodes)[:, None]
         v = jnp.where(live, vectors.astype(jnp.float32), 0.0)
-        scale = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 127.0
-        q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
+        # per-ROW symmetric scales: a single outlier row no longer collapses
+        # quantization resolution for every vector
+        scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(v / scale[:, None]), -127,
+                     127).astype(jnp.int8)
         return q, scale
 
     def _ensure_quantized(self):
@@ -515,6 +524,7 @@ class HnswIndex:
         """Serialize the full device state. Like the reference, everything
         except the arrays is re-derived from config on load
         (embedding.c:58-64: 'metadata is reconstructed from reloptions')."""
+        path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         n = self.n_nodes
         np.savez_compressed(
@@ -539,7 +549,7 @@ class HnswIndex:
         """Restore an index. If ``config`` is given, its frozen fields
         {dims, maxM, metric} must match the stored ones — the metadata-guard
         analog (embedding.c:594-602); ef* knobs may differ freely."""
-        with np.load(path) as z:
+        with np.load(_npz_path(path)) as z:
             if int(z["format_version"]) != _SAVE_FORMAT_VERSION:
                 raise ValueError("unsupported index format version")
             stored = HnswConfig.from_dict(

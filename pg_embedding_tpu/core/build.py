@@ -57,8 +57,10 @@ def _prune_heuristic(cand_d: jax.Array, cand_i: jax.Array,
     std::pair max-heap ordering); c is kept iff no already-kept r satisfies
     dist(c, r) < dist(c, query). If fewer than nn valid candidates exist the
     heuristic is skipped entirely and all are kept (hnswalg.cpp:119-120) —
-    in *reverse* order, preserving the reference's link-list order quirk
-    (unpruned heaps pop farthest-first; see core.refimpl._mutually_connect).
+    in farthest-first order with ties larger-id-first (unpruned heaps hold
+    (+dist, idx) pairs and pop farthest/larger-id first; see
+    core.refimpl._mutually_connect), preserving the reference's link-list
+    order quirk exactly, including on tied distances.
     """
     c = cand_d.shape[0]
     valid = (cand_i >= 0) & jnp.isfinite(cand_d)
@@ -90,10 +92,15 @@ def _prune_heuristic(cand_d: jax.Array, cand_i: jax.Array,
     scatter_to = jnp.where(kept_mask, pos, nn)  # overflow slot nn is dropped
     kept_i = jnp.full((nn + 1,), -1, jnp.int32).at[scatter_to].set(i_s)[:nn]
 
-    # link-order parity: unpruned lists are written farthest-first
+    # link-order parity: unpruned lists are written farthest-first with
+    # ties popping larger-id-first, i.e. sort key (-d, -id).  Reversing the
+    # (d asc, id desc) scan order would flip ties to smaller-id-first, so
+    # build the reversed list from a (d asc, id ASC) sort instead.
+    order_asc = jnp.lexsort((cand_i, key_d))
+    i_asc = cand_i[order_asc]
     slot = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)[:, 0]
-    rev_idx = jnp.clip(kept_count - 1 - slot, 0, nn - 1)
-    kept_rev = jnp.where(slot < kept_count, kept_i[rev_idx], -1)
+    rev_idx = jnp.clip(kept_count - 1 - slot, 0, c - 1)
+    kept_rev = jnp.where(slot < kept_count, i_asc[rev_idx], -1)
     kept_i = jnp.where(do_prune, kept_i, kept_rev)
 
     return kept_i, kept_count

@@ -84,7 +84,8 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     hops, dist_evals); results ascending, -1/inf padded.
 
     Quantized traversal: when ``qvectors`` (int8[cap, D]) and ``qscale``
-    (f32 scalar) are given, the hot-loop neighbor gathers move int8 rows and
+    (f32[cap] per-row scales) are given, the hot-loop neighbor gathers move
+    int8 rows and
     the final ef results are RERANKED with exact full-precision distances,
     so returned distances keep reference semantics and only the traversal
     order is approximate (cf. quantize-then-rerank, PAPERS.md AQR-HNSW).
@@ -166,7 +167,8 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         #     begin_read/dist loop, hnswalg.cpp:89-98); int8 traversal
         #     gathers quarter the bytes and dequantizes in-register --------
         if qvectors is not None:
-            nvecs = qvectors[safe_nbrs].astype(jnp.float32) * qscale
+            nvecs = (qvectors[safe_nbrs].astype(jnp.float32) *
+                     qscale[safe_nbrs][:, None])
         else:
             nvecs = graph.vectors[safe_nbrs]             # [T*maxM, D]
         dists = dist_one_to_many(query, nvecs, metric_value)
@@ -214,7 +216,8 @@ def search_graph_quantized(graph: GraphState, queries: jax.Array,
                            cand_cap: int | None = None, expand_width: int = 1
                            ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer with int8 quantized traversal + exact
-    rerank (see _search_one). qvectors: int8[cap, D]; qscale: f32 scalar."""
+    rerank (see _search_one). qvectors: int8[cap, D]; qscale: f32[cap]
+    per-row scales."""
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,

@@ -274,7 +274,11 @@ class ShardedHnswIndex:
             sid = jax.lax.axis_index(AXIS)
             gid = jnp.where(i >= 0, sid * cap + i, -1)
             # found count per query (for the widening heuristic): how many
-            # raw results this shard produced before tombstone filtering
+            # raw results this shard produced before tombstone filtering.
+            # The merge below takes the MAX over shards: widening continues
+            # while ANY shard filled its beam (one exhausted/small shard must
+            # not block ef-doubling for the others — reference semantics
+            # widen until the index is exhausted, embedding.c:322,338-343)
             found = jnp.sum((i >= 0).astype(jnp.int32), axis=1)  # [B]
 
             # all-gather candidate sets over ICI, merge to global top-k
@@ -288,7 +292,7 @@ class ShardedHnswIndex:
             neg, sel = jax.lax.top_k(-flat_d, k_total)
             out_d = -neg
             out_g = jnp.take_along_axis(flat_g, sel, axis=1)
-            return out_d, out_g, jnp.sum(all_f, axis=0)
+            return out_d, out_g, jnp.max(all_f, axis=0)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
@@ -431,8 +435,9 @@ class ShardedHnswIndex:
             g = np.asarray(g)
             alive = (g >= 0) & np.isfinite(d)
             n_alive = alive.sum(axis=1)
-            need_more = (n_alive < min(k, n)) & \
-                        (np.asarray(found) >= ef * self.n_shards)
+            # per-query: some shard filled its whole beam => more graph may
+            # remain there; a single exhausted shard never blocks widening
+            need_more = (n_alive < min(k, n)) & (np.asarray(found) >= ef)
             if not need_more.any() or ef >= max(self.n_nodes, 1):
                 break
             ef = self._bucket_ef(ef * 2)
@@ -537,6 +542,9 @@ class ShardedHnswIndex:
         import json
         import os
 
+        from ..api import _npz_path
+
+        path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
         hi = int(self._counts.max()) if self.n_nodes else 0
@@ -562,7 +570,9 @@ class ShardedHnswIndex:
         Frozen-field guard as in HnswIndex.load."""
         import json
 
-        with np.load(path) as z:
+        from ..api import _npz_path
+
+        with np.load(_npz_path(path)) as z:
             stored = HnswConfig.from_dict(
                 json.loads(bytes(z["config"]).decode()))
             if config is not None:

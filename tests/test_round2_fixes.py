@@ -1,0 +1,170 @@
+"""Round-2 regression tests: ADVICE r1 fixes.
+
+Covers: save/load path normalization (suffix-less paths), per-shard widening
+with a deliberately tiny shard, unpruned link-list tie-order parity, per-row
+int8 quantization scales, and a benchmarks/run.py smoke (the sharded
+streaming path regressed when the filtered-search operand was added).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pg_embedding_tpu import HnswConfig, HnswIndex, ShardedHnswIndex
+from pg_embedding_tpu.core.refimpl import RefHnswIndex
+from pg_embedding_tpu.parallel.sharded import default_mesh
+
+
+@pytest.fixture(scope="module")
+def small(rng):
+    pts = rng.normal(size=(300, 16)).astype(np.float32)
+    qs = rng.normal(size=(4, 16)).astype(np.float32)
+    return pts, qs
+
+
+def test_save_load_without_npz_suffix(tmp_path, small):
+    pts, qs = small
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    idx = HnswIndex(cfg)
+    idx.build(pts[:100], np.arange(100))
+    p = str(tmp_path / "plain_name")        # no .npz suffix
+    idx.save(p)
+    back = HnswIndex.load(p)                # must find the file
+    assert back.n_nodes == 100
+    d0, l0, _ = idx.search(qs, 5, mode="graph")
+    d1, l1, _ = back.search(qs, 5, mode="graph")
+    np.testing.assert_array_equal(l0, l1)
+
+
+def test_sharded_save_load_without_npz_suffix(tmp_path, small):
+    pts, _ = small
+    cfg = HnswConfig(dims=16, m=6, ef_construction=24, ef_search=24)
+    idx = ShardedHnswIndex(cfg)
+    idx.build(pts[:64], np.arange(64))
+    p = str(tmp_path / "sharded_plain")
+    idx.save(p)
+    back = ShardedHnswIndex.load(p)
+    assert back.n_nodes == 64
+
+
+def _assemble_sharded_npz(path, shards, cfg):
+    """Write a ShardedHnswIndex save file from per-shard HnswIndexes with
+    (possibly) unbalanced sizes — the unbalanced-shard fixture the public
+    build path (round-robin, balanced) cannot produce."""
+    s = len(shards)
+    counts = np.array([ix.n_nodes for ix in shards], np.int64)
+    hi = int(counts.max())
+    vec = np.zeros((s, hi, cfg.dims), np.float32)
+    lnk = np.full((s, hi, cfg.max_m), -1, np.int32)
+    cnt = np.zeros((s, hi), np.int32)
+    dlt = np.zeros((s, hi), bool)
+    lab = np.zeros((s, hi), np.uint64)
+    for i, ix in enumerate(shards):
+        n = ix.n_nodes
+        vec[i, :n] = np.asarray(ix.graph.vectors[:n], np.float32)
+        lnk[i, :n] = np.asarray(ix.graph.links[:n])
+        cnt[i, :n] = np.asarray(ix.graph.link_counts[:n])
+        dlt[i, :n] = np.asarray(ix.graph.deleted[:n])
+        lab[i, :n] = ix.labels
+    np.savez_compressed(
+        path, format_version=np.int64(1),
+        config=np.frombuffer(json.dumps(cfg.to_dict()).encode(),
+                             dtype=np.uint8),
+        n_shards=np.int64(s), shard_counts=counts, vectors=vec, links=lnk,
+        link_counts=cnt, deleted=dlt, labels=lab)
+
+
+def test_widening_with_tiny_shard(tmp_path, rng):
+    """One nearly-empty shard must not block ef-doubling for the others
+    (ADVICE r1: the old rule required the SUM over shards to fill every
+    beam; reference semantics widen until the index is exhausted per query,
+    embedding.c:322,338-343)."""
+    cfg = HnswConfig(dims=8, m=6, ef_construction=24, ef_search=8)
+    pts = rng.normal(size=(103, 8)).astype(np.float32)
+    big = HnswIndex(cfg)
+    big.build(pts[:100], np.arange(100))
+    tiny = HnswIndex(cfg)
+    tiny.build(pts[100:], np.arange(100, 103))
+    p = str(tmp_path / "unbalanced.npz")
+    _assemble_sharded_npz(p, [big, tiny], cfg)
+
+    idx = ShardedHnswIndex.load(p, mesh=default_mesh(2))
+    assert list(idx.shard_counts) == [100, 3]
+    qs = rng.normal(size=(3, 8)).astype(np.float32)
+    k = 20  # > ef_search + tiny shard: requires widening on the big shard
+    d, l, v = idx.search(qs, k, mode="graph")
+    assert v.sum(axis=1).min() == k, v.sum(axis=1)
+    assert idx.counters["n_widenings"] >= 1
+
+
+def test_unpruned_tie_order_parity(rng):
+    """Equal-distance candidates in an UNPRUNED link list must be written
+    farthest-first with larger-id-first among ties, matching the reference
+    heap's (+dist, idx) pop order (refimpl._mutually_connect)."""
+    cfg = HnswConfig(dims=4, m=8, ef_construction=16, ef_search=16)
+    # many duplicate points => tied distances everywhere; fewer than m+1
+    # candidates early on => unpruned lists
+    base = rng.normal(size=(3, 4)).astype(np.float32)
+    pts = base[np.array([0, 1, 1, 2, 2, 0, 1])]  # duplicates => exact ties
+
+    ref = RefHnswIndex(cfg)
+    for i, p in enumerate(pts):
+        ref.add(p, i)
+
+    idx = HnswIndex(cfg, max_insert_batch=1)  # serial order, like the ref
+    idx.build(pts, np.arange(len(pts)))
+
+    links = np.asarray(idx.graph.links)
+    cnts = np.asarray(idx.graph.link_counts)
+    for i in range(len(pts)):
+        got = links[i, : cnts[i]].tolist()
+        want = ref.links[i]
+        assert got == want, f"node {i}: {got} != {want}"
+
+
+def test_per_row_quantization_scales(rng):
+    """A single huge-magnitude row must not collapse the int8 resolution of
+    the other rows (per-row scales, ADVICE r1)."""
+    pts = rng.normal(size=(64, 8)).astype(np.float32)
+    pts[0] *= 1e5  # the outlier
+    cfg = HnswConfig(dims=8, m=6, ef_construction=24, ef_search=24)
+    idx = HnswIndex(cfg, quantized_traversal=True)
+    idx.build(pts, np.arange(64))
+    qv, qs = idx._ensure_quantized()
+    qv = np.asarray(qv)
+    scales = np.asarray(qs)
+    assert scales.shape[0] == idx.graph.capacity
+    # non-outlier rows keep full int8 range despite the outlier
+    assert np.abs(qv[1:64]).max() >= 100
+    # dequantized rows approximate the originals row-wise
+    deq = qv[:64].astype(np.float32) * scales[:64, None]
+    err = np.abs(deq - pts) / np.maximum(np.abs(pts).max(axis=1,
+                                                         keepdims=True), 1)
+    assert err.max() < 0.01
+
+
+def test_benchmarks_run_smoke():
+    """benchmarks/run.py streaming paths execute for single-chip and sharded
+    indexes (the sharded branch crashed after the filtered-search change)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.run import CONFIGS, _streaming_qps
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(96, CONFIGS["sharded"]["dims"])).astype(np.float32)
+    qs = rng.normal(size=(64, CONFIGS["sharded"]["dims"])).astype(np.float32)
+    cfg = HnswConfig(dims=CONFIGS["sharded"]["dims"], m=6,
+                     ef_construction=16, ef_search=16)
+    sidx = ShardedHnswIndex(cfg)
+    sidx.build(pts, np.arange(len(pts)))
+    for mode in ("auto", "graph"):
+        qps = _streaming_qps(sidx, qs, mode, reps=1)
+        assert qps > 0
+
+    idx = HnswIndex(cfg)
+    idx.build(pts, np.arange(len(pts)))
+    for mode in ("auto", "graph"):
+        qps = _streaming_qps(idx, qs, mode, reps=1)
+        assert qps > 0
