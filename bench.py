@@ -130,10 +130,10 @@ def bench_tpu(pts, qs):
         f"recall@10={rec_a:.4f}")
     return {"build_vps": N / build_s, "qps": qps_a, "recall": rec_a,
             "graph_qps": qps_g, "graph_recall": rec_g,
-            "latency_ms": lat_a * 1000}
+            "latency_ms": lat_a * 1000, "oracle": ol}
 
 
-def bench_cpu(pts, qs, n_queries=512):
+def bench_cpu(pts, qs, oracle_labels, n_queries=512):
     try:
         from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex
     except Exception as e:  # pragma: no cover
@@ -156,25 +156,13 @@ def bench_cpu(pts, qs, n_queries=512):
     results = [idx.search(q, EF_SEARCH) for q in sub]
     qps = len(sub) / (time.time() - t0)
 
-    # exact oracle for the same queries (numpy, chunked)
-    oracle = np.zeros((len(sub), K), np.int64)
-    chunk = 20_000
-    for i, q in enumerate(sub):
-        best_d = None
-        best_i = None
-        for s in range(0, N, chunk):
-            d = ((pts[s: s + chunk] - q) ** 2).sum(-1)
-            ii = np.argsort(d)[:K]
-            dd = d[ii]
-            if best_d is None:
-                best_d, best_i = dd, ii + s
-            else:
-                md = np.concatenate([best_d, dd])
-                mi = np.concatenate([best_i, ii + s])
-                o = np.argsort(md)[:K]
-                best_d, best_i = md[o], mi[o]
-        oracle[i] = best_i
-    recs = [len(set(l[:K].astype(np.int64)) & set(oracle[i])) / K
+    # recall against the SAME oracle as the TPU engines (round-1 scored CPU
+    # against a separate numpy oracle while the device oracle silently lost
+    # ~3% of true top-10 sets to f32 matmul-form cancellation — fixed in
+    # ops/bruteforce via exact rerank; one shared oracle keeps the engines
+    # comparable)
+    recs = [len(set(l[:K].astype(np.int64)) &
+                set(oracle_labels[i][:K].astype(np.int64))) / K
             for i, (_, l) in enumerate(results)]
     rec = float(np.mean(recs))
     log(f"CPU search: {qps:.0f} QPS (single thread, ef={EF_SEARCH}), "
@@ -187,7 +175,7 @@ def main():
     pts, qs = make_data(rng)
 
     tpu = bench_tpu(pts, qs)
-    cpu = bench_cpu(pts, qs)
+    cpu = bench_cpu(pts, qs, tpu["oracle"])
 
     vs = tpu["qps"] / cpu["qps"] if cpu else float("nan")
     if cpu:

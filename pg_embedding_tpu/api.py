@@ -34,7 +34,8 @@ import numpy as np
 from .config import HnswConfig, Metric
 from .core.build import build_schedule, insert_batch_masked
 from .core.graph import GraphState, empty_graph, grow_graph
-from .core.search import search_graph, search_graph_quantized
+from .core.search import (search_graph, search_graph_packed,
+                          search_graph_quantized)
 from .ops.bruteforce import exact_search as _bruteforce
 from .ops.pallas_bruteforce import pallas_exact_search as _pallas_bruteforce
 
@@ -55,7 +56,8 @@ class HnswIndex:
                  max_insert_batch: int = 128,
                  search_expand_width: int = 4,
                  storage_dtype: str = "float32",
-                 quantized_traversal: bool = False) -> None:
+                 quantized_traversal: bool = False,
+                 packed_traversal: bool = False) -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
         # "float32" (exact, reference precision) or "bfloat16" (halves the
@@ -79,8 +81,29 @@ class HnswIndex:
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.
         self.quantized_traversal = bool(quantized_traversal)
+        # write-ahead delta log (the GenericXLog analog, embedding.c:651-686)
+        # — see enable_wal(); None until enabled
+        self._wal = None
+        self._wal_replaying = False
+        # packed traversal: co-locate every node's NEIGHBORS' int8 codes in
+        # one contiguous record (int8[cap, maxM, D]), so a beam step gathers
+        # T records instead of T*maxM random rows — the page-locality analog
+        # (embedding.c:226-231) and the graph walk's transaction-bound fix
+        # (BASELINE.md profiling note). Exact rerank keeps returned
+        # distances full-precision. Costs maxM x D bytes/node of HBM;
+        # records are (re)built lazily after inserts. Serving knob.
+        self.packed_traversal = bool(packed_traversal)
         self._qvec = None
         self._qscale = None
+        self._pcodes = None
+        self._pscales = None
+        # visited-set structure (core/search.py): the exact bitmap costs
+        # capacity/8 bytes PER IN-FLIGHT QUERY (12.5MB at 100M rows — the
+        # SURVEY §7 scale hard part); past the threshold 'auto' switches to
+        # the fixed-size open-hash table (32KB/query at 8192 slots,
+        # corpus-size independent; rare overwrites only waste work)
+        self.visited_mode = "auto"        # "auto" | "bitmap" | "hash"
+        self.hash_visited_min_cap = 4_000_000
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m,
                                   dtype=jnp.dtype(self.storage_dtype))
@@ -159,6 +182,10 @@ class HnswIndex:
             if labels.shape[0] != n:
                 raise ValueError("labels/vectors length mismatch")
         self._ensure_capacity(n)
+        if self._wal is not None and not self._wal_replaying:
+            # write-ahead: the record is durable before the device mutation
+            # (per-insert GenericXLog discipline, embedding.c:651-686)
+            self._wal.log_insert(vectors, labels)
 
         base = self.n_nodes
         cfg = self.config
@@ -175,7 +202,10 @@ class HnswIndex:
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n
-        self._qvec = None  # quantized shadow is stale after inserts
+        # quantized/packed shadows are stale after inserts (links changed)
+        self._qvec = None
+        self._pcodes = None
+        self._pscales = None
         return np.arange(base, base + n, dtype=np.int64)
 
     def build(self, vectors, labels=None) -> None:
@@ -220,16 +250,34 @@ class HnswIndex:
             np.sum(np.asarray(stats.dist_evals)))
         return np.asarray(d), np.asarray(i)
 
+    def _visited_slots(self, ef: int) -> int:
+        """0 = exact bitmap; else hash-table slot count (power of two,
+        sized ~4x the expected unique visits ef * maxM)."""
+        if self.visited_mode == "bitmap":
+            return 0
+        if (self.visited_mode == "auto"
+                and self._graph.capacity < self.hash_visited_min_cap):
+            return 0
+        return 1 << max(13, (4 * ef * self.config.max_m - 1).bit_length())
+
     def _graph_search(self, qdev, ef):
+        vs = self._visited_slots(ef)
+        if self.packed_traversal:
+            pc, ps = self._ensure_packed()
+            return search_graph_packed(
+                self._graph, qdev, pc, ps, ef=ef,
+                metric_value=self.config.metric.value,
+                expand_width=self.search_expand_width, visited_slots=vs)
         if self.quantized_traversal:
             qv, qs = self._ensure_quantized()
             return search_graph_quantized(
                 self._graph, qdev, qv, qs, ef=ef,
                 metric_value=self.config.metric.value,
-                expand_width=self.search_expand_width)
+                expand_width=self.search_expand_width, visited_slots=vs)
         return search_graph(self._graph, qdev, ef=ef,
                             metric_value=self.config.metric.value,
-                            expand_width=self.search_expand_width)
+                            expand_width=self.search_expand_width,
+                            visited_slots=vs)
 
     @staticmethod
     @jax.jit
@@ -250,6 +298,19 @@ class HnswIndex:
             self._qvec, self._qscale = self._quantize(
                 self._graph.vectors, self._graph.n_nodes)
         return self._qvec, self._qscale
+
+    @staticmethod
+    @jax.jit
+    def _pack_records(qvec, qscale, links):
+        safe = jnp.maximum(links, 0)                 # [cap, maxM]
+        return qvec[safe], qscale[safe]              # [cap, maxM, D], [cap, maxM]
+
+    def _ensure_packed(self):
+        if self._pcodes is None:
+            qv, qs = self._ensure_quantized()
+            self._pcodes, self._pscales = self._pack_records(
+                qv, qs, self._graph.links)
+        return self._pcodes, self._pscales
 
     @staticmethod
     @jax.jit
@@ -375,9 +436,9 @@ class HnswIndex:
         """Brute-force exact k-NN over live vectors — the seq-scan ground
         truth (embedding.c:1022-1038; test/sql/knn.sql:41-44).
 
-        ``engine``: "pallas" uses the fused MXU kernel (L2/cosine, ~1.5x the
-        jnp path on TPU, exact), "jnp" the chunked lax.top_k path, "auto"
-        picks pallas on TPU when the metric supports it.
+        ``engine``: "pallas" uses the fused kernel (MXU matmul form for
+        L2/cosine, VPU |a-b| accumulation for Manhattan — all exact), "jnp"
+        the chunked lax.top_k path, "auto" picks pallas on TPU.
         ``excluded``: optional bool[cap] device mask of additional rows to
         skip (the filtered-search pushdown)."""
         queries = self._check_dims(queries)
@@ -386,10 +447,9 @@ class HnswIndex:
             raise ValueError(f"unknown exact engine: {engine!r}")
         dead = (self._graph.deleted if excluded is None
                 else self._graph.deleted | excluded)
-        use_pallas = (engine == "pallas" or (
-            engine == "auto"
-            and jax.default_backend() in ("tpu", "axon")
-            and self.config.metric is not Metric.MANHATTAN))
+        use_pallas = (engine == "pallas" or
+                      (engine == "auto"
+                       and jax.default_backend() in ("tpu", "axon")))
         if use_pallas:
             d, i = _pallas_bruteforce(jnp.asarray(queries),
                                       self._graph.vectors, k,
@@ -421,6 +481,8 @@ class HnswIndex:
         newly = dead & ~already
         idxs = np.nonzero(newly)[0]
         if len(idxs):
+            if self._wal is not None and not self._wal_replaying:
+                self._wal.log_delete(mine[idxs])
             self._graph = self._graph._replace(
                 deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
         self.counters["n_deleted"] += len(idxs)
@@ -432,6 +494,9 @@ class HnswIndex:
         n = self.n_nodes
         idxs = np.nonzero(mask[:n] & ~np.asarray(self._graph.deleted)[:n])[0]
         if len(idxs):
+            if self._wal is not None and not self._wal_replaying:
+                # canonical WAL form is labels (the TID analog)
+                self._wal.log_delete(self._labels[idxs])
             self._graph = self._graph._replace(
                 deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
         self.counters["n_deleted"] += len(idxs)
@@ -477,7 +542,9 @@ class HnswIndex:
         fresh = HnswIndex(self.config,
                           max_insert_batch=self.max_insert_batch,
                           search_expand_width=self.search_expand_width,
-                          storage_dtype=self.storage_dtype)
+                          storage_dtype=self.storage_dtype,
+                          quantized_traversal=self.quantized_traversal,
+                          packed_traversal=self.packed_traversal)
         if len(vecs):
             fresh.build(vecs, labels)
         return fresh
@@ -520,16 +587,30 @@ class HnswIndex:
     # durability (save/load) — the WAL/checkpoint analog
     # ------------------------------------------------------------------ #
 
+    def enable_wal(self, path: str) -> None:
+        """Enable the write-ahead delta log — the GenericXLog analog
+        (embedding.c:651-686): every add()/delete() is appended and fsync'd
+        BEFORE the device mutation, so a crash between save() snapshots
+        loses nothing acknowledged. load(snapshot, wal=path) replays the
+        records appended after the snapshot (see wal.py)."""
+        from .wal import WalWriter
+
+        self._wal = WalWriter(path, self.config)
+
     def save(self, path: str) -> None:
         """Serialize the full device state. Like the reference, everything
         except the arrays is re-derived from config on load
-        (embedding.c:58-64: 'metadata is reconstructed from reloptions')."""
+        (embedding.c:58-64: 'metadata is reconstructed from reloptions').
+        If a WAL is enabled, the snapshot records the current WAL offset
+        (the LSN analog) so load(wal=...) replays only the tail."""
         path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         n = self.n_nodes
         np.savez_compressed(
             path,
             format_version=np.int64(_SAVE_FORMAT_VERSION),
+            wal_offset=np.int64(self._wal.tell() if self._wal is not None
+                                else -1),
             storage_dtype=np.frombuffer(
                 self.storage_dtype.encode(), dtype=np.uint8),
             config=np.frombuffer(
@@ -544,12 +625,17 @@ class HnswIndex:
         )
 
     @classmethod
-    def load(cls, path: str,
-             config: Optional[HnswConfig] = None) -> "HnswIndex":
+    def load(cls, path: str, config: Optional[HnswConfig] = None,
+             wal: Optional[str] = None) -> "HnswIndex":
         """Restore an index. If ``config`` is given, its frozen fields
         {dims, maxM, metric} must match the stored ones — the metadata-guard
-        analog (embedding.c:594-602); ef* knobs may differ freely."""
+        analog (embedding.c:594-602); ef* knobs may differ freely.
+
+        ``wal``: path of the write-ahead delta log; records appended after
+        the snapshot's stored offset are replayed (crash recovery), then
+        the log stays enabled on the restored index."""
         with np.load(_npz_path(path)) as z:
+            wal_offset = int(z["wal_offset"]) if "wal_offset" in z else -1
             if int(z["format_version"]) != _SAVE_FORMAT_VERSION:
                 raise ValueError("unsupported index format version")
             stored = HnswConfig.from_dict(
@@ -590,7 +676,27 @@ class HnswIndex:
         idx._labels[:n] = labels
         idx._count = n
         idx.counters["n_inserted"] = n
+        if wal is not None:
+            idx._replay_wal(wal, wal_offset)
         return idx
+
+    def _replay_wal(self, wal_path: str, from_offset: int) -> None:
+        """Apply WAL records past the snapshot offset, then reopen the log
+        for appending (the recovered index keeps journaling)."""
+        from . import wal as walmod
+
+        self._wal_replaying = True
+        try:
+            start = from_offset if from_offset >= 0 else None
+            for op, labels, vectors in walmod.replay(
+                    wal_path, self.config.dims, start):
+                if op == walmod.OP_INSERT:
+                    self.add(vectors, labels)
+                elif op == walmod.OP_DELETE:
+                    self.delete(labels)
+        finally:
+            self._wal_replaying = False
+        self.enable_wal(wal_path)
 
     # ------------------------------------------------------------------ #
     # knobs

@@ -79,7 +79,8 @@ def _merge_topk(d_a, i_a, d_b, i_b, k: int):
 
 def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                 metric_value: int, cand_cap: int,
-                expand_width: int = 1, qvectors=None, qscale=None):
+                expand_width: int = 1, qvectors=None, qscale=None,
+                pcodes=None, pscales=None, visited_slots: int = 0):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
     hops, dist_evals); results ascending, -1/inf padded.
 
@@ -92,12 +93,39 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     Measured on v5e at 1M x 128d: throughput-neutral (the random row gather
     is transaction-bound, not byte-bound) with a small recall gain from the
     rerank; its practical value is the 4x smaller traversal copy for
-    memory-tight serving."""
+    memory-tight serving.
+
+    Packed traversal: when ``pcodes`` (int8[cap, maxM, D]) and ``pscales``
+    (f32[cap, maxM]) are given, each node's NEIGHBORS' int8 codes are
+    co-located in one contiguous record, so expanding T candidates costs T
+    contiguous record gathers instead of T*maxM random row gathers — the
+    TPU answer to the reference's page locality (one begin_read pulls the
+    whole node record, embedding.c:226-231,704-767).  The graph walk is
+    HBM-transaction-bound (BASELINE.md profiling note), so collapsing the
+    transaction count is the lever that actually moves it.  Same exact
+    rerank as the quantized path.
+
+    Visited set: ``visited_slots == 0`` (default) uses the exact per-query
+    bitmap (u32 words, cap/8 BYTES per in-flight query — the hnswalg.cpp
+    45-64 layout).  At 100M rows that is 12.5MB/query, which forbids large
+    batches (SURVEY.md §7 "visited-set memory").  ``visited_slots = 2^s``
+    switches to a fixed-size open-hash table with overwrite (4-way buckets,
+    multiplicative hashing): collisions may OVERWRITE older entries, so a
+    node can occasionally be re-expanded (wasted work, never wrong results)
+    and duplicate ids can reach the result queue — removed by a final
+    id-dedupe pass.  32KB/query at 8192 slots regardless of corpus size."""
     cap = graph.capacity
     max_m = graph.max_m
     n_words = cap // 32
     t = expand_width
     tm = t * max_m
+    use_hash = visited_slots > 0
+    if use_hash:
+        assert visited_slots & (visited_slots - 1) == 0, \
+            "visited_slots must be a power of two"
+        hmask = jnp.uint32(visited_slots - 1)
+        # Knuth multiplicative hash; bucket = 4 consecutive slots
+        hprime = jnp.uint32(2654435761)
 
     # --- entry point: node 0, hardwired (embedding.c:235) -----------------
     has_nodes = graph.n_nodes > 0
@@ -109,8 +137,26 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     res_i = jnp.full((ef,), -1, jnp.int32).at[0].set(i0)
     cand_d = jnp.full((cand_cap,), _INF, jnp.float32).at[0].set(d0)
     cand_i = jnp.full((cand_cap,), -1, jnp.int32).at[0].set(i0)
-    visited = jnp.zeros((n_words,), jnp.uint32).at[0].set(
-        jnp.where(has_nodes, jnp.uint32(1), jnp.uint32(0)))
+
+    def _buckets(ids):
+        """4-slot bucket indices for each id (hash mode)."""
+        h = (ids.astype(jnp.uint32) * hprime) & hmask & ~jnp.uint32(3)
+        return (h[:, None] + jax.lax.broadcasted_iota(
+            jnp.uint32, (ids.shape[0], 4), 1)).astype(jnp.int32)
+
+    def _slot_choice(ids):
+        """Deterministic per-id slot within its bucket (overwrite policy)."""
+        return ((ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 30
+                ).astype(jnp.int32)
+
+    if use_hash:
+        visited = jnp.full((visited_slots,), -1, jnp.int32)
+        zero = jnp.zeros((1,), jnp.int32)
+        slot0 = _buckets(zero)[0, _slot_choice(zero)[0]]
+        visited = visited.at[slot0].set(jnp.where(has_nodes, 0, -1))
+    else:
+        visited = jnp.zeros((n_words,), jnp.uint32).at[0].set(
+            jnp.where(has_nodes, jnp.uint32(1), jnp.uint32(0)))
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
     slot_in_row = slot_ids % max_m
@@ -120,7 +166,12 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         lower_bound = res_d[ef - 1]  # inf while not full (see module doc)
         # continue while best candidate exists and is not strictly farther
         # than the worst kept result (hnswalg.cpp:69-71)
-        return (cand_d[0] < _INF) & ~(cand_d[0] > lower_bound)
+        go = (cand_d[0] < _INF) & ~(cand_d[0] > lower_bound)
+        if use_hash:
+            # overwritten table entries can re-admit already-expanded nodes;
+            # a generous hop cap guarantees termination regardless
+            go = go & (hops < visited_slots)
+        return go
 
     def body(state):
         res_d, res_i, cand_d, cand_i, visited, hops, evals = state
@@ -144,29 +195,50 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                  jnp.repeat(expand, max_m))
 
         safe_nbrs = jnp.where(valid, nbrs, 0)
-        words = safe_nbrs >> 5
-        bits = (jnp.uint32(1) << (safe_nbrs & 31).astype(jnp.uint32))
 
-        unvisited = (visited[words] & bits) == 0
+        if use_hash:
+            buckets = _buckets(safe_nbrs)                      # [TM, 4]
+            unvisited = ~jnp.any(visited[buckets] == safe_nbrs[:, None],
+                                 axis=1)
+        else:
+            words = safe_nbrs >> 5
+            bits = (jnp.uint32(1) << (safe_nbrs & 31).astype(jnp.uint32))
+            unvisited = (visited[words] & bits) == 0
 
         # first-occurrence dedupe across the expanded rows (two popped
-        # candidates may share neighbors; the visited bitmap must see each
-        # id once so scatter-add stays equivalent to scatter-or)
+        # candidates may share neighbors; the visited structure must see
+        # each id once so the scatter stays conflict-free)
         eq_earlier = (safe_nbrs[None, :] == safe_nbrs[:, None]) & (
             slot_ids[None, :] < slot_ids[:, None])
         dup = jnp.any(eq_earlier & valid[None, :], axis=1)
 
         process = valid & unvisited & ~dup
 
-        # mark visited (hnswalg.cpp:92-93): bits are unset and pairwise
-        # distinct within each word, so scatter-add == scatter-or
-        add_bits = jnp.where(process, bits, jnp.uint32(0))
-        visited = visited.at[words].add(add_bits)
+        if use_hash:
+            # insert into the chosen bucket slot; colliding ids overwrite
+            # (older entries may be lost => possible re-expansion, see doc)
+            ins = jnp.take_along_axis(buckets,
+                                      _slot_choice(safe_nbrs)[:, None],
+                                      axis=1)[:, 0]
+            ins = jnp.where(process, ins, visited_slots)  # drop non-processed
+            visited = visited.at[ins].set(safe_nbrs, mode="drop")
+        else:
+            # mark visited (hnswalg.cpp:92-93): bits are unset and pairwise
+            # distinct within each word, so scatter-add == scatter-or
+            add_bits = jnp.where(process, bits, jnp.uint32(0))
+            visited = visited.at[words].add(add_bits)
 
         # --- fused gather + distance (replaces the per-neighbor
         #     begin_read/dist loop, hnswalg.cpp:89-98); int8 traversal
-        #     gathers quarter the bytes and dequantizes in-register --------
-        if qvectors is not None:
+        #     gathers quarter the bytes and dequantizes in-register;
+        #     packed traversal gathers T contiguous neighbor-code records
+        #     (aligned with nbr_rows slot-for-slot) ------------------------
+        if pcodes is not None:
+            codes = pcodes[safe_cur]                     # [T, maxM, D] i8
+            scales = pscales[safe_cur]                   # [T, maxM]
+            nvecs = (codes.reshape(tm, -1).astype(jnp.float32) *
+                     scales.reshape(tm)[:, None])
+        elif qvectors is not None:
             nvecs = (qvectors[safe_nbrs].astype(jnp.float32) *
                      qscale[safe_nbrs][:, None])
         else:
@@ -196,7 +268,20 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     state = (res_d, res_i, cand_d, cand_i, visited, jnp.int32(0),
              jnp.int32(0))
     res_d, res_i, _, _, _, hops, evals = jax.lax.while_loop(cond, body, state)
-    if qvectors is not None:
+    if use_hash:
+        # hash overwrites allow duplicate ids into the result queue; drop
+        # duplicates (identical ids carry identical distances) and restore
+        # ascending order
+        order = jnp.argsort(res_i)
+        si = res_i[order]
+        sd = res_d[order]
+        prev = jnp.concatenate([jnp.full((1,), -2, si.dtype), si[:-1]])
+        dup = (si == prev) & (si >= 0)
+        sd = jnp.where(dup, _INF, sd)
+        si = jnp.where(dup, -1, si)
+        neg, sel = jax.lax.top_k(-sd, ef)
+        res_d, res_i = -neg, si[sel]
+    if qvectors is not None or pcodes is not None:
         # exact rerank of the ef results (full-precision distances, exact
         # ordering among the surfaced candidates)
         fvecs = graph.vectors[jnp.maximum(res_i, 0)]
@@ -209,11 +294,12 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("ef", "metric_value", "cand_cap",
-                                    "expand_width"))
+                                    "expand_width", "visited_slots"))
 def search_graph_quantized(graph: GraphState, queries: jax.Array,
                            qvectors: jax.Array, qscale: jax.Array, *,
                            ef: int, metric_value: int,
-                           cand_cap: int | None = None, expand_width: int = 1
+                           cand_cap: int | None = None, expand_width: int = 1,
+                           visited_slots: int = 0
                            ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer with int8 quantized traversal + exact
     rerank (see _search_one). qvectors: int8[cap, D]; qscale: f32[cap]
@@ -221,7 +307,8 @@ def search_graph_quantized(graph: GraphState, queries: jax.Array,
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
-                           cand_cap=cand_cap, expand_width=expand_width)
+                           cand_cap=cand_cap, expand_width=expand_width,
+                           visited_slots=visited_slots)
     res_d, res_i, hops, evals = jax.vmap(
         lambda g, q, qv, qsc: fn(g, q, qvectors=qv, qscale=qsc),
         in_axes=(None, 0, None, None))(graph, queries, qvectors, qscale)
@@ -230,10 +317,34 @@ def search_graph_quantized(graph: GraphState, queries: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("ef", "metric_value", "cand_cap",
-                                    "expand_width"))
+                                    "expand_width", "visited_slots"))
+def search_graph_packed(graph: GraphState, queries: jax.Array,
+                        pcodes: jax.Array, pscales: jax.Array, *,
+                        ef: int, metric_value: int,
+                        cand_cap: int | None = None, expand_width: int = 1,
+                        visited_slots: int = 0
+                        ) -> Tuple[jax.Array, jax.Array, SearchStats]:
+    """Batched searchBaseLayer over packed neighbor-code records + exact
+    rerank (see _search_one). pcodes: int8[cap, maxM, D] (node i's row j =
+    the int8 code of links[i, j]); pscales: f32[cap, maxM] matching per-row
+    dequantization scales."""
+    if cand_cap is None:
+        cand_cap = ef
+    fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
+                           cand_cap=cand_cap, expand_width=expand_width,
+                           visited_slots=visited_slots)
+    res_d, res_i, hops, evals = jax.vmap(
+        lambda g, q, pc, ps: fn(g, q, pcodes=pc, pscales=ps),
+        in_axes=(None, 0, None, None))(graph, queries, pcodes, pscales)
+    return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ef", "metric_value", "cand_cap",
+                                    "expand_width", "visited_slots"))
 def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
                  metric_value: int, cand_cap: int | None = None,
-                 expand_width: int = 1
+                 expand_width: int = 1, visited_slots: int = 0
                  ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer.
 
@@ -254,7 +365,8 @@ def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
-                           cand_cap=cand_cap, expand_width=expand_width)
+                           cand_cap=cand_cap, expand_width=expand_width,
+                           visited_slots=visited_slots)
     res_d, res_i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(graph,
                                                                 queries)
     return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)

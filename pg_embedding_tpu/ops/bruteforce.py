@@ -20,7 +20,27 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Metric
-from .distance import pairwise_dist
+from .distance import dist_one_to_many, pairwise_dist
+
+# Extra candidates fetched by the matmul-form sweep before the exact
+# elementwise rerank.  The L2 matmul expansion |p|^2+|q|^2-2pq cancels
+# catastrophically in f32 when |p|^2 >> d^2 (measured: ~3% of top-10 sets
+# flipped vs a difference-form oracle at 100k x 128d clustered data), so the
+# sweep over-fetches and the final top-k is re-scored with the exact
+# difference form (distfunc.c:121-130 semantics) on the gathered rows.
+_RERANK_PAD = 10
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric_value"))
+def _rerank_exact(queries, points, i_run, *, k: int, metric_value: int):
+    """Re-score [B, k_run] candidate ids with the exact elementwise
+    distance form and keep the k best (ascending; -1 ids stay last)."""
+    rows = points[jnp.maximum(i_run, 0)].astype(jnp.float32)  # [B, k_run, D]
+    d = jax.vmap(lambda q, r: dist_one_to_many(q, r, metric_value))(
+        queries, rows)
+    d = jnp.where(i_run >= 0, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, k)
+    return -neg, jnp.take_along_axis(i_run, sel, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric_value", "chunk"))
@@ -85,7 +105,8 @@ def exact_search(queries, points, k: int, metric=Metric.L2,
     queries = jnp.asarray(queries, jnp.float32)
     points = jnp.asarray(points, jnp.float32)
     metric = resolve_metric(metric)
-    n = points.shape[0] if n_valid is None else int(n_valid)
+    # n_valid may be traced (per-shard counts inside shard_map)
+    n = points.shape[0] if n_valid is None else n_valid
 
     chunk = min(chunk, max(points.shape[0], 1))
     n_pad = ((points.shape[0] + chunk - 1) // chunk) * chunk
@@ -97,6 +118,16 @@ def exact_search(queries, points, k: int, metric=Metric.L2,
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-    return _exact_search_impl(queries, points, jnp.int32(n), deleted,
-                              k=int(k), metric_value=metric.value,
+    k = int(k)
+    if metric is Metric.L2:
+        # over-fetch + exact rerank: the matmul form's f32 cancellation can
+        # sink true top-k items a few ranks down (see _RERANK_PAD)
+        k_run = k + _RERANK_PAD
+        _, i_run = _exact_search_impl(queries, points, jnp.asarray(n, jnp.int32), deleted,
+                                      k=k_run, metric_value=metric.value,
+                                      chunk=chunk)
+        return _rerank_exact(queries, points, i_run, k=k,
+                             metric_value=metric.value)
+    return _exact_search_impl(queries, points, jnp.asarray(n, jnp.int32), deleted,
+                              k=k, metric_value=metric.value,
                               chunk=chunk)

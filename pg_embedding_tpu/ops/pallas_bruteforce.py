@@ -97,11 +97,15 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
                          k: int, tile_n: int, metric_value: int,
                          n_tiles: int):
     pq = scores[:]                                 # accumulated [TILE_N, QT]
-    pnorm = pnorm_ref[:]                           # [TILE_N, 1] |p|^2
-    qn = qnorm_ref[:]                              # [1, QT]    |q|^2
     if metric_value == Metric.L2.value:
+        pnorm = pnorm_ref[:]                       # [TILE_N, 1] |p|^2
+        qn = qnorm_ref[:]                          # [1, QT]    |q|^2
         s = jnp.maximum(pnorm + qn - 2.0 * pq, 0.0)
+    elif metric_value == Metric.MANHATTAN.value:
+        s = pq                                     # |a-b| sum, already final
     else:  # cosine
+        pnorm = pnorm_ref[:]
+        qn = qnorm_ref[:]
         s = 1.0 - pq * jax.lax.rsqrt(jnp.maximum(pnorm * qn, 1e-30))
 
     start = ti * tile_n
@@ -150,6 +154,22 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
     n_tiles = n_pad // tile_n
     q_tiles = b // tile_q
     d_tiles = d // tile_d
+    out_specs = (
+        pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((k, b), jnp.float32),
+        jax.ShapeDtypeStruct((k, b), jnp.int32),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores / qp acc
+        pltpu.VMEM((k, tile_q), jnp.float32),        # running top-k d
+        pltpu.VMEM((k, tile_q), jnp.int32),          # running top-k i
+    ]
+
     # aux vectors as 2-D: 1-D blocked operands trip Mosaic/XLA layout
     # tiling mismatches
     qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
@@ -173,22 +193,8 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
             pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
                          memory_space=pltpu.VMEM),               # deleted
         ],
-        out_specs=(
-            pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile_q), lambda qi, ti, di: (0, qi),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, b), jnp.float32),
-            jax.ShapeDtypeStruct((k, b), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores / qp acc
-            pltpu.VMEM((k, tile_q), jnp.float32),        # running top-k d
-            pltpu.VMEM((k, tile_q), jnp.int32),          # running top-k i
-        ],
-        interpret=interpret,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch_shapes, interpret=interpret,
     )(n_valid, queries, qnorms, points, pnorms, deleted)
     # back to [B, K]
     return out_d.T, out_i.T
@@ -198,25 +204,46 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                         n_valid=None, deleted=None, tile_n: int | None = None,
                         tile_q: int | None = None,
                         interpret: bool | None = None):
-    """Exact top-k via the fused Pallas kernel (L2/cosine only).
+    """Exact top-k — the unified fast-path entry point for all three
+    metrics.
+
+    L2/cosine run the fused Pallas MXU kernel. Manhattan has no matmul
+    form; its fast path IS XLA's fused VPU sweep (ops.bruteforce), to which
+    this routes — a hand-written Pallas per-dim |a-b| kernel was measured
+    SLOWER (21k vs 37k QPS at 20k x 128d on v5e: Mosaic's (8,128) lane
+    layout makes per-dim column broadcasts cost a full padded tile each,
+    while XLA fuses the broadcast-abs-reduce natively).  Mirrors the
+    reference, where Manhattan is likewise the scalar/autovectorized path
+    (distfunc.c:147-155).
 
     Same contract as ops.bruteforce.exact_search. ``interpret`` defaults to
     True off-TPU (CPU tests) and False on TPU. The query batch is padded to
     a multiple of tile_q (lane width); corpus to tile_n.
     """
     from ..config import resolve_metric
+    from .bruteforce import exact_search as _jnp_exact
 
     metric = resolve_metric(metric)
     if metric is Metric.MANHATTAN:
-        raise ValueError("pallas_exact_search supports L2/cosine only; "
-                         "use ops.bruteforce.exact_search for Manhattan")
+        return _jnp_exact(queries, points, k, metric, n_valid=n_valid,
+                          deleted=deleted)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     queries = jnp.asarray(queries, jnp.float32)
     points = jnp.asarray(points)
-    n = points.shape[0] if n_valid is None else int(n_valid)
+    # n_valid may be a traced scalar (e.g. per-shard counts inside
+    # shard_map); only its value is needed, never its Python int
+    n = points.shape[0] if n_valid is None else n_valid
     b = queries.shape[0]
+    # L2: over-fetch + exact elementwise rerank — the matmul expansion's f32
+    # cancellation flips near-tied top-k memberships (ops/bruteforce.py
+    # _RERANK_PAD note); the kernel finds k+pad by matmul score, the rerank
+    # re-scores those rows with the difference form
+    from .bruteforce import _RERANK_PAD, _rerank_exact
+    k = int(k)
+    k_run = k + _RERANK_PAD if metric is Metric.L2 else k
+    orig_points = points
 
     # Tile auto-selection (measured on v5e, 100k x 128d x 1024 queries):
     #   L2 narrow:  tq=1024/tn=1536 -> 135k QPS (corpus streams once/batch)
@@ -263,8 +290,13 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     pnorms = jnp.sum(points.astype(jnp.float32) ** 2, axis=1)[:, None]
     out_d, out_i = _pallas_exact(queries, points, pnorms,
                                  (deleted.astype(jnp.int32) > 0)[:, None],
-                                 jnp.full((1,), n, jnp.int32), k=int(k),
+                                 jnp.asarray(n, jnp.int32).reshape(1),
+                                 k=k_run,
                                  metric_value=metric.value, tile_n=tile_n,
                                  tile_q=tile_q, tile_d=tile_d,
                                  interpret=bool(interpret))
+    if k_run != k:
+        return _rerank_exact(queries[:b, : orig_points.shape[1]],
+                             orig_points, out_i[:b], k=k,
+                             metric_value=metric.value)
     return out_d[:b], out_i[:b]

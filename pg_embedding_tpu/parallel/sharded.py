@@ -66,7 +66,9 @@ class ShardedHnswIndex:
     def __init__(self, config: HnswConfig, mesh: Optional[Mesh] = None, *,
                  initial_capacity: int = 1024,
                  max_insert_batch: int = 128,
-                 search_expand_width: int = 4) -> None:
+                 search_expand_width: int = 4,
+                 storage_dtype: str = "float32",
+                 packed_traversal: bool = False) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
         # per-shard auto-routing crossover (see _use_exact)
@@ -74,19 +76,30 @@ class ShardedHnswIndex:
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
+        if storage_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown storage_dtype: {storage_dtype!r}")
+        self.storage_dtype = storage_dtype
+        # packed neighbor-code records per shard (api.HnswIndex's
+        # packed_traversal, sharded): rebuilt lazily after inserts
+        self.packed_traversal = bool(packed_traversal)
+        self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
 
         cap = self._pad_cap(initial_capacity)
         s = self.n_shards
         shard = NamedSharding(self.mesh, P(AXIS))
         self._arrays = tuple(
             jax.device_put(a, shard) for a in (
-                np.zeros((s, cap, config.dims), np.float32),
+                np.zeros((s, cap, config.dims),
+                         jnp.dtype(self.storage_dtype)),
                 np.full((s, cap, config.max_m), -1, np.int32),
                 np.zeros((s, cap), np.int32),
                 np.zeros((s, cap), bool),
                 np.zeros((s,), np.int32),
             ))
         self._labels = np.zeros((s, cap), np.uint64)
+        # global insert position of each (shard, slot) — lets node-id mask
+        # filters (the single-chip ``where`` bool form) address sharded rows
+        self._positions = np.full((s, cap), -1, np.int64)
         # host-side mirror of per-shard n_nodes (reading the device array
         # would force a pipeline-draining sync; see api.HnswIndex._count)
         self._counts = np.zeros((s,), np.int64)
@@ -189,10 +202,12 @@ class ShardedHnswIndex:
         if need.max() > self.capacity_per_shard:
             self._grow(int(need.max()))
 
-        # write labels
+        # write labels + global insert positions
         for i in range(s):
             self._labels[i, counts[i]: counts[i] + per_n[i]] = \
                 labels[per_shard[i]]
+            self._positions[i, counts[i]: counts[i] + per_n[i]] = \
+                start + per_shard[i]
 
         # insert in uniform fixed-shape SPMD batches; ragged tails (across
         # batches AND across shards) use n_insert masking so exactly one
@@ -212,6 +227,7 @@ class ShardedHnswIndex:
                 jax.device_put(n_ins, shard))
         self._counts = counts + per_n
         self.counters["n_inserted"] += n
+        self._packed = None  # records are stale once links changed
 
     def build(self, vectors, labels=None) -> None:
         vectors = self._check_dims(vectors)
@@ -228,7 +244,7 @@ class ShardedHnswIndex:
         old = self.capacity_per_shard
         cfg = self.config
         vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
-        nvec = np.zeros((s, new_cap, cfg.dims), np.float32)
+        nvec = np.zeros((s, new_cap, cfg.dims), vec.dtype)
         nvec[:, :old] = vec
         nlnk = np.full((s, new_cap, cfg.max_m), -1, np.int32)
         nlnk[:, :old] = lnk
@@ -242,21 +258,57 @@ class ShardedHnswIndex:
         nlab = np.zeros((s, new_cap), np.uint64)
         nlab[:, :old] = self._labels
         self._labels = nlab
+        npos = np.full((s, new_cap), -1, np.int64)
+        npos[:, :old] = self._positions
+        self._positions = npos
+        self._packed = None
 
     # ------------------------------------------------------------------ #
     # search
     # ------------------------------------------------------------------ #
 
-    def _search_step(self, ef: int, k_total: int):
+    def _pack_step(self):
+        """Shard-mapped builder for packed neighbor-code records: per-row
+        int8 quantization + one gather that co-locates every node's
+        neighbors' codes (see api.HnswIndex.packed_traversal)."""
+        key = ("pack", self.capacity_per_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        def pack(arrays):
+            g = _local(arrays)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (g.capacity, 1), 0)[:, 0]
+            live = (rows < g.n_nodes)[:, None]
+            v = jnp.where(live, g.vectors.astype(jnp.float32), 0.0)
+            scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-30) / 127.0
+            qv = jnp.clip(jnp.round(v / scale[:, None]), -127,
+                          127).astype(jnp.int8)
+            safe = jnp.maximum(g.links, 0)
+            return qv[safe][None], scale[safe][None]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
+                                   out_specs=(P(AXIS), P(AXIS)),
+                                   check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def _ensure_packed(self):
+        if self._packed is None:
+            self._packed = self._pack_step()(self._arrays)
+        return self._packed
+
+    def _search_step(self, ef: int, k_total: int, packed: bool = False):
         """Shard-mapped search + ICI all-gather + global top-k merge."""
         key = ("search", ef, k_total, self.capacity_per_shard,
-               self.search_expand_width)
+               self.search_expand_width, packed)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
         cap = self.capacity_per_shard
 
-        def step(arrays, queries, excluded):
+        def step(arrays, queries, excluded, pcodes, pscales):
             g = _local(arrays)
             g = g._replace(deleted=g.deleted | excluded[0])
             q = queries  # replicated: [B, D]
@@ -264,7 +316,14 @@ class ShardedHnswIndex:
                                    metric_value=cfg.metric.value,
                                    cand_cap=ef,
                                    expand_width=self.search_expand_width)
-            d, i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(g, q)
+            if packed:
+                d, i, hops, evals = jax.vmap(
+                    lambda gg, qq, pc, ps: fn(gg, qq, pcodes=pc,
+                                              pscales=ps),
+                    in_axes=(None, 0, None, None))(g, q, pcodes[0],
+                                                   pscales[0])
+            else:
+                d, i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(g, q)
             # filter tombstones on-shard before the merge so dead nodes
             # never travel over ICI (searchKnn filter, hnswalg.cpp:245)
             dead = g.deleted[jnp.maximum(i, 0)] & (i >= 0)
@@ -295,57 +354,44 @@ class ShardedHnswIndex:
             return out_d, out_g, jnp.max(all_f, axis=0)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-        fn = jax.jit(jax.shard_map(
-            step, mesh=self.mesh,
-            in_specs=(spec, P(), P(AXIS)),
-            out_specs=(P(), P(), P()), check_vma=False))
+        if packed:
+            fn = jax.jit(jax.shard_map(
+                step, mesh=self.mesh,
+                in_specs=(spec, P(), P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(), P(), P()), check_vma=False))
+        else:
+            plain = functools.partial(step, pcodes=None, pscales=None)
+            fn = jax.jit(jax.shard_map(
+                plain, mesh=self.mesh,
+                in_specs=(spec, P(), P(AXIS)),
+                out_specs=(P(), P(), P()), check_vma=False))
         self._step_cache[key] = fn
         return fn
 
     def _exact_step(self, k: int):
-        """Shard-mapped exact sweep: per-shard tiled brute-force top-k over
-        local vectors, all_gather + global top-k merge — the sharded
-        seq-scan oracle (and the batched serving fast path)."""
+        """Shard-mapped exact sweep: per-shard fused Pallas top-k over the
+        local vectors (the same kernel as the single-chip fast path,
+        including the L2 over-fetch + exact rerank), all_gather + global
+        top-k merge — the sharded seq-scan oracle (and the batched serving
+        fast path)."""
         key = ("exact", k, self.capacity_per_shard)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
         cap = self.capacity_per_shard
-        chunk = min(8192, cap)
-        assert cap % chunk == 0  # guaranteed by _pad_cap
-        from ..ops.distance import pairwise_dist
+        from ..ops.pallas_bruteforce import pallas_exact_search
 
         def step(arrays, queries, excluded):
             g = _local(arrays)
-            g = g._replace(deleted=g.deleted | excluded[0])
-            q = queries                                     # [B, D]
-            b = q.shape[0]
-
-            def body(c, carry):
-                top_d, top_i = carry
-                start = c * chunk
-                pts = jax.lax.dynamic_slice_in_dim(g.vectors, start, chunk, 0)
-                dd = jax.lax.dynamic_slice_in_dim(g.deleted, start, chunk, 0)
-                d = pairwise_dist(q, pts, cfg.metric.value)  # [B, chunk]
-                ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk),
-                                                       1)
-                ok = (ids < g.n_nodes) & ~dd[None, :]
-                d = jnp.where(ok, d, jnp.inf)
-                ids = jnp.where(ok, ids, -1)
-                md = jnp.concatenate([top_d, d], axis=1)
-                mi = jnp.concatenate([top_i, ids], axis=1)
-                neg, sel = jax.lax.top_k(-md, k)
-                return -neg, jnp.take_along_axis(mi, sel, axis=1)
-
-            init = (jnp.full((b, k), jnp.inf, jnp.float32),
-                    jnp.full((b, k), -1, jnp.int32))
-            d, i = jax.lax.fori_loop(0, cap // chunk, body, init)
+            d, i = pallas_exact_search(queries, g.vectors, k, cfg.metric,
+                                       n_valid=g.n_nodes,
+                                       deleted=g.deleted | excluded[0])
 
             sid = jax.lax.axis_index(AXIS)
             gid = jnp.where(i >= 0, sid * cap + i, -1)
             all_d = jax.lax.all_gather(d, AXIS)             # [S, B, k]
             all_g = jax.lax.all_gather(gid, AXIS)
-            s = all_d.shape[0]
+            s, b = all_d.shape[0], all_d.shape[1]
             flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
             flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * k)
             neg, sel = jax.lax.top_k(-flat_d, k)
@@ -360,17 +406,31 @@ class ShardedHnswIndex:
         return fn
 
     def _filter_to_excluded(self, where):
-        """Allowed-labels filter -> per-shard excluded bool[S, cap] on the
-        mesh (sharded predicate pushdown; only label filters are supported
-        here — node-id masks are a single-chip concept)."""
+        """Search filter -> per-shard excluded bool[S, cap] on the mesh
+        (sharded predicate pushdown). ``where`` is either an array of
+        allowed labels, or a bool mask over global INSERT POSITIONS (the
+        single-chip node-id mask form; positions are tracked per slot in
+        self._positions)."""
         cap = self.capacity_per_shard
         excluded = np.zeros((self.n_shards, cap), bool)
         if where is not None:
-            allowed = np.asarray(where).astype(np.uint64)
+            where = np.asarray(where)
             counts = self.shard_counts
-            for i in range(self.n_shards):
-                excluded[i, : counts[i]] = ~np.isin(
-                    self._labels[i, : counts[i]], allowed)
+            if where.dtype == bool:
+                allowed_pos = where.reshape(-1)
+                n = self.n_nodes
+                if allowed_pos.shape[0] < n:
+                    raise ValueError(
+                        f"filter mask covers {allowed_pos.shape[0]} of {n} "
+                        f"nodes")
+                for i in range(self.n_shards):
+                    pos = self._positions[i, : counts[i]]
+                    excluded[i, : counts[i]] = ~allowed_pos[pos]
+            else:
+                allowed = where.astype(np.uint64)
+                for i in range(self.n_shards):
+                    excluded[i, : counts[i]] = ~np.isin(
+                        self._labels[i, : counts[i]], allowed)
         return jax.device_put(excluded,
                               NamedSharding(self.mesh, P(AXIS)))
 
@@ -428,9 +488,12 @@ class ShardedHnswIndex:
         n = self.n_nodes
         if where is not None:
             n = int(n - np.asarray(excluded).sum())
+        packed_ops = (self._ensure_packed() if self.packed_traversal
+                      else ())
         while True:
-            d, g, found = self._search_step(ef, min(k, ef * self.n_shards))(
-                self._arrays, qdev, excluded)
+            step = self._search_step(ef, min(k, ef * self.n_shards),
+                                     packed=self.packed_traversal)
+            d, g, found = step(self._arrays, qdev, excluded, *packed_ops)
             d = np.asarray(d)
             g = np.asarray(g)
             alive = (g >= 0) & np.isfinite(d)
@@ -460,6 +523,30 @@ class ShardedHnswIndex:
     # ------------------------------------------------------------------ #
     # delete / stats
     # ------------------------------------------------------------------ #
+
+    def tune_ef_search(self, queries, target_recall: float = 0.95,
+                       k: int = 10, max_ef: int = 4096) -> int:
+        """Smallest power-of-two efSearch meeting ``target_recall`` on
+        ``queries`` against the sharded exact oracle (the autotuner,
+        mirroring api.HnswIndex.tune_ef_search)."""
+        queries = self._check_dims(queries)
+        _, ol, ov = self.exact_search(queries, k)
+        ef = max(self.config.ef_search, k)
+        ef = 1 << (ef - 1).bit_length()
+        best = ef
+        while ef <= min(max_ef, max(self.n_nodes, 1)):
+            d, l, v = self.search(queries, k, ef=ef, mode="graph")
+            recs = []
+            for r in range(queries.shape[0]):
+                got = set(l[r][v[r]][:k].tolist())
+                want = set(ol[r][ov[r]][:k].tolist())
+                recs.append(len(got & want) / max(len(want), 1))
+            best = ef
+            if float(np.mean(recs)) >= target_recall:
+                break
+            ef *= 2
+        self.config = self.config.with_ef(ef_search=best)
+        return best
 
     def delete(self, labels) -> int:
         labels = np.asarray(labels, np.uint64).reshape(-1)
@@ -502,7 +589,9 @@ class ShardedHnswIndex:
         fresh = ShardedHnswIndex(
             self.config, mesh=self.mesh,
             max_insert_batch=self.max_insert_batch,
-            search_expand_width=self.search_expand_width)
+            search_expand_width=self.search_expand_width,
+            storage_dtype=self.storage_dtype,
+            packed_traversal=self.packed_traversal)
         if sum(len(v) for v in vecs):
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
         return fresh
@@ -553,13 +642,17 @@ class ShardedHnswIndex:
             format_version=np.int64(1),
             config=np.frombuffer(
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
+            storage_dtype=np.frombuffer(
+                self.storage_dtype.encode(), dtype=np.uint8),
             n_shards=np.int64(self.n_shards),
             shard_counts=self._counts.astype(np.int64),
-            vectors=vec[:, :hi],
+            # bf16 upcasts losslessly to f32 for serialization
+            vectors=vec[:, :hi].astype(np.float32),
             links=lnk[:, :hi],
             link_counts=cnt[:, :hi],
             deleted=dlt[:, :hi],
             labels=self._labels[:, :hi],
+            positions=self._positions[:, :hi],
         )
 
     @classmethod
@@ -587,17 +680,21 @@ class ShardedHnswIndex:
             counts = z["shard_counts"]
             vec, lnk, cnt = z["vectors"], z["links"], z["link_counts"]
             dlt, lab = z["deleted"], z["labels"]
+            storage_dtype = (bytes(z["storage_dtype"]).decode()
+                             if "storage_dtype" in z else "float32")
+            pos = z["positions"] if "positions" in z else None
 
         idx = cls(cfg, mesh=mesh,
-                  initial_capacity=max(int(counts.max()), 32))
+                  initial_capacity=max(int(counts.max()), 32),
+                  storage_dtype=storage_dtype)
         if idx.n_shards != s:
             raise ValueError(
                 f"saved index has {s} shards but the mesh has "
                 f"{idx.n_shards} devices; resharding requires a rebuild")
         cap = idx.capacity_per_shard
         hi = vec.shape[1]
-        nvec = np.zeros((s, cap, cfg.dims), np.float32)
-        nvec[:, :hi] = vec
+        nvec = np.zeros((s, cap, cfg.dims), jnp.dtype(storage_dtype))
+        nvec[:, :hi] = vec.astype(jnp.dtype(storage_dtype))
         nlnk = np.full((s, cap, cfg.max_m), -1, np.int32)
         nlnk[:, :hi] = lnk
         ncnt = np.zeros((s, cap), np.int32)
@@ -609,6 +706,15 @@ class ShardedHnswIndex:
             nvec, nlnk, ncnt, ndlt, counts.astype(np.int32)))
         idx._labels = np.zeros((s, cap), np.uint64)
         idx._labels[:, :hi] = lab
+        idx._positions = np.full((s, cap), -1, np.int64)
+        if pos is not None:
+            idx._positions[:, :hi] = pos
+        else:
+            # legacy files (no positions): reconstruct assuming the
+            # round-robin-from-zero build order (position = slot*S + shard)
+            for i in range(s):
+                idx._positions[i, : counts[i]] = (
+                    np.arange(counts[i]) * s + i)
         idx._counts = counts.astype(np.int64)
         idx.counters["n_inserted"] = int(counts.sum())
         return idx

@@ -64,3 +64,37 @@ def test_empty_corpus(rng):
     qs = rng.normal(size=(2, 8)).astype(np.float32)
     d, i = exact_search(qs, pts, 3, Metric.L2, n_valid=0)
     assert (np.asarray(i) == -1).all()
+
+
+def test_l2_accuracy_vs_f64_oracle(rng):
+    """The L2 matmul expansion cancels catastrophically in f32 on data with
+    |p|^2 >> d^2 (round-1 oracle bug: ~3% of top-10 sets flipped at 100k).
+    The over-fetch + exact-rerank path must match a float64 oracle."""
+    centers = rng.normal(scale=4.0, size=(200, 128)).astype(np.float32)
+    pts = (centers[rng.integers(0, 200, 20000)] +
+           rng.normal(size=(20000, 128))).astype(np.float32)
+    qs = (centers[rng.integers(0, 200, 64)] +
+          rng.normal(size=(64, 128))).astype(np.float32)
+    # per-query f64 oracle (chunked: this host has one CPU core)
+    oracle = np.zeros((len(qs), 10), np.int64)
+    best64 = np.zeros(len(qs), np.float64)
+    for r in range(len(qs)):
+        drow = ((pts - qs[r]).astype(np.float64) ** 2).sum(-1)
+        oracle[r] = np.argsort(drow)[:10]
+        best64[r] = drow[oracle[r][0]]
+
+    d, i = exact_search(qs, pts, 10, Metric.L2)
+    i = np.asarray(i)
+    rec = np.mean([len(set(i[r].tolist()) & set(oracle[r].tolist())) / 10
+                   for r in range(len(qs))])
+    assert rec >= 0.999, rec
+
+    from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
+    dp, ip = pallas_exact_search(qs, pts, 10, Metric.L2)
+    ip = np.asarray(ip)
+    recp = np.mean([len(set(ip[r].tolist()) & set(oracle[r].tolist())) / 10
+                    for r in range(len(qs))])
+    assert recp >= 0.999, recp
+    # returned distances use the exact difference form (sqrt'd)
+    np.testing.assert_allclose(np.asarray(d)[:, 0], np.sqrt(best64),
+                               rtol=1e-4)

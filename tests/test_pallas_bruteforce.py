@@ -9,7 +9,8 @@ from pg_embedding_tpu.ops.bruteforce import exact_search
 from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
 
 
-@pytest.mark.parametrize("metric", [Metric.L2, Metric.COSINE])
+@pytest.mark.parametrize("metric",
+                         [Metric.L2, Metric.COSINE, Metric.MANHATTAN])
 def test_matches_exact(rng, metric):
     pts = rng.normal(size=(777, 24)).astype(np.float32)
     qs = rng.normal(size=(9, 24)).astype(np.float32)
@@ -59,11 +60,19 @@ def test_bf16_points(rng):
     assert overlap >= 0.9
 
 
-def test_manhattan_rejected(rng):
-    with pytest.raises(ValueError):
-        pallas_exact_search(np.zeros((1, 4), np.float32),
-                            np.zeros((4, 4), np.float32), 2,
-                            Metric.MANHATTAN)
+def test_manhattan_wide_and_masked(rng):
+    """Manhattan on the fast path (VERDICT r1 item 9): VPU |a-b|
+    accumulation branch, including D-tiling and tombstones."""
+    pts = rng.normal(size=(400, 300)).astype(np.float32)
+    qs = rng.normal(size=(4, 300)).astype(np.float32)
+    deleted = np.zeros(400, bool)
+    deleted[rng.integers(0, 400, 30)] = True
+    d1, i1 = exact_search(qs, pts, 7, Metric.MANHATTAN, deleted=deleted)
+    d2, i2 = pallas_exact_search(qs, pts, 7, Metric.MANHATTAN, tile_n=128,
+                                 tile_q=8, deleted=deleted)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_wide_dims_d_tiling(rng):

@@ -168,3 +168,41 @@ def test_benchmarks_run_smoke():
     for mode in ("auto", "graph"):
         qps = _streaming_qps(idx, qs, mode, reps=1)
         assert qps > 0
+
+
+def test_hash_visited_set_matches_bitmap(rng):
+    """The fixed-size open-hash visited set (the 100M-scale replacement for
+    the cap/8-bytes-per-query bitmap) must produce ~identical results: no
+    duplicate ids, recall within noise of the exact-bitmap mode."""
+    centers = rng.normal(scale=4.0, size=(30, 24)).astype(np.float32)
+    pts = (centers[rng.integers(0, 30, 4000)] +
+           rng.normal(size=(4000, 24))).astype(np.float32)
+    qs = (centers[rng.integers(0, 30, 32)] +
+          rng.normal(size=(32, 24))).astype(np.float32)
+    cfg = HnswConfig(dims=24, m=8, ef_construction=48, ef_search=48)
+    idx = HnswIndex(cfg)
+    idx.build(pts, np.arange(len(pts)))
+
+    d0, i0 = idx.search_ids(qs)                      # bitmap (auto, small)
+    idx.visited_mode = "hash"
+    d1, i1 = idx.search_ids(qs)
+
+    for r in range(len(qs)):
+        ids = i1[r][i1[r] >= 0]
+        assert len(ids) == len(set(ids.tolist())), "duplicate ids in results"
+    # overlap of surfaced ids: hash overwrites may very rarely re-route the
+    # walk; demand near-identity
+    overlap = np.mean([
+        len(set(i0[r][i0[r] >= 0].tolist()) &
+            set(i1[r][i1[r] >= 0].tolist())) / max((i0[r] >= 0).sum(), 1)
+        for r in range(len(qs))])
+    assert overlap >= 0.98, overlap
+    # and top-10 recall vs the exact oracle must not degrade
+    _, le, ve = idx.exact_search(qs, 10)
+    lab0 = idx.labels[np.maximum(i0[:, :10], 0)]
+    lab1 = idx.labels[np.maximum(i1[:, :10], 0)]
+    r0 = np.mean([len(set(lab0[r]) & set(le[r][ve[r]])) / 10
+                  for r in range(len(qs))])
+    r1 = np.mean([len(set(lab1[r]) & set(le[r][ve[r]])) / 10
+                  for r in range(len(qs))])
+    assert r1 >= r0 - 0.01, (r0, r1)
