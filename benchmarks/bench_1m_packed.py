@@ -3,6 +3,7 @@
 (VERDICT r1 item 2: graph-mode >= 2x CPU QPS at 1M, recall >= CPU at equal
 ef). Same synthetic clustered recipe as BASELINE.md's 1M row."""
 
+import json
 import os
 import sys
 import time
@@ -19,6 +20,10 @@ from pg_embedding_tpu.core.search import (  # noqa: E402
 from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex  # noqa: E402
 
 N, DIMS, M, EFC, EFS, K, NQ, REPS = 1_000_000, 128, 16, 64, 64, 10, 1024, 8
+# rebuilt indexes are identical (deterministic build); cache across runs so
+# perf experiments don't pay the ~7 min TPU + ~4 min CPU builds every time
+CACHE_IDX = "/tmp/bench1m_idx.npz"
+CACHE_CPU = "/tmp/bench1m_cpu.json"
 
 
 def log(msg):
@@ -42,28 +47,45 @@ def main():
           rng.normal(size=(NQ, DIMS)).astype(np.float32)).astype(np.float32)
 
     cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=EFS)
-    idx = HnswIndex(cfg, initial_capacity=N + 256)
-    t0 = time.time()
-    idx.build(pts, np.arange(N))
-    np.asarray(idx.graph.n_nodes)
-    log(f"TPU build: {N / (time.time() - t0):.0f} vec/s")
+    if os.path.exists(CACHE_IDX):
+        idx = HnswIndex.load(CACHE_IDX)
+        log(f"loaded cached index ({idx.n_nodes} nodes)")
+    else:
+        idx = HnswIndex(cfg, initial_capacity=N + 256)
+        t0 = time.time()
+        idx.build(pts, np.arange(N))
+        np.asarray(idx.graph.n_nodes)
+        log(f"TPU build: {N / (time.time() - t0):.0f} vec/s")
+        idx.save(CACHE_IDX)
 
     _, ol, _ = idx.exact_search(qs, K)
     oracle = ol.astype(np.int64)
     qdev = jnp.asarray(qs)
 
     # CPU reference
-    cpu = CpuRefIndex(DIMS, m=M, ef_construction=EFC)
-    t0 = time.time()
-    cpu.build(pts, np.arange(N))
-    log(f"CPU build: {N / (time.time() - t0):.0f} vec/s")
-    got = np.stack([cpu.search(q, EFS)[1][:K] for q in qs[:256]])
-    log(f"CPU recall: {recall(got, oracle[:256]):.4f}")
-    t0 = time.time()
-    for q in qs[:512]:
-        cpu.search(q, EFS)
-    cpu_qps = 512 / (time.time() - t0)
-    log(f"CPU QPS: {cpu_qps:.0f}")
+    if os.path.exists(CACHE_CPU):
+        with open(CACHE_CPU) as f:
+            cj = json.load(f)
+        cpu_qps = cj["qps"]
+        log(f"cached CPU: {cpu_qps:.0f} QPS, recall {cj['recall']:.4f}, "
+            f"build {cj['build_vps']:.0f} vec/s")
+    else:
+        cpu = CpuRefIndex(DIMS, m=M, ef_construction=EFC)
+        t0 = time.time()
+        cpu.build(pts, np.arange(N))
+        cpu_build = N / (time.time() - t0)
+        log(f"CPU build: {cpu_build:.0f} vec/s")
+        got = np.stack([cpu.search(q, EFS)[1][:K] for q in qs[:256]])
+        cpu_rec = recall(got, oracle[:256])
+        log(f"CPU recall: {cpu_rec:.4f}")
+        t0 = time.time()
+        for q in qs[:512]:
+            cpu.search(q, EFS)
+        cpu_qps = 512 / (time.time() - t0)
+        log(f"CPU QPS: {cpu_qps:.0f}")
+        with open(CACHE_CPU, "w") as f:
+            json.dump({"qps": cpu_qps, "recall": cpu_rec,
+                       "build_vps": cpu_build}, f)
 
     # plain graph
     d, i, _ = search_graph(idx.graph, qdev, ef=EFS, metric_value=0,

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import HnswConfig, Metric
-from .core.build import build_schedule, insert_batch_masked
+from .core.build import build_schedule, insert_batch_masked_donating
 from .core.graph import GraphState, empty_graph, grow_graph
 from .core.search import (search_graph, search_graph_packed,
                           search_graph_quantized)
@@ -194,7 +194,9 @@ class HnswIndex:
             # fixed batch shape + traced n_insert => one compile per capacity
             chunk = np.zeros((b, cfg.dims), np.float32)
             chunk[:cnt] = vectors[off: off + cnt]
-            self._graph = insert_batch_masked(
+            # donating variant: the old graph is dead after rebinding, and
+            # in-place aliasing avoids a capacity-sized copy per batch
+            self._graph = insert_batch_masked_donating(
                 self._graph, jnp.asarray(chunk), jnp.int32(cnt),
                 ef_construction=cfg.ef_construction,
                 m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value,

@@ -279,6 +279,29 @@ def insert_batch_masked(graph: GraphState, points: jax.Array,
                              cand_cap=cand_cap, expand_width=expand_width)
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("ef_construction", "m", "max_m", "metric_value",
+                     "cand_cap", "expand_width"))
+def insert_batch_masked_donating(graph: GraphState, points: jax.Array,
+                                 n_insert: jax.Array, *,
+                                 ef_construction: int, m: int,
+                                 max_m: int, metric_value: int,
+                                 cand_cap: int | None = None,
+                                 expand_width: int = 1) -> GraphState:
+    """insert_batch_masked with the graph buffers DONATED: XLA aliases
+    input to output, so the capacity-sized arrays are updated in place
+    instead of copied per batch.  Without this, every 128-row batch copies
+    the whole vectors+links arrays (6.4GB/batch at 10M x 128d — both a
+    throughput wall and a 2x peak-memory tax; the page store updates in
+    place for the same reason, embedding.c:769-843).  The input GraphState
+    is INVALIDATED — callers must rebind (api.add does)."""
+    return insert_batch_core(graph, points, n_insert,
+                             ef_construction=ef_construction, m=m,
+                             max_m=max_m, metric_value=metric_value,
+                             cand_cap=cand_cap, expand_width=expand_width)
+
+
 def build_schedule(n: int, max_batch: int):
     """Fixed-size batch schedule: (offset, count) pairs, all with the same
     padded batch shape.  One compiled program per capacity (tails are handled

@@ -28,7 +28,15 @@ from .distance import dist_one_to_many, pairwise_dist
 # flipped vs a difference-form oracle at 100k x 128d clustered data), so the
 # sweep over-fetches and the final top-k is re-scored with the exact
 # difference form (distfunc.c:121-130 semantics) on the gathered rows.
-_RERANK_PAD = 10
+# Pad size: with the sweep's dots forced to Precision.HIGHEST (TPU f32
+# matmuls otherwise run ONE bf16 MXU pass — O(1) absolute score error at
+# |p||q| ~ 2e3, displacing true neighbors many ranks), the remaining error
+# is true-f32-level (~1e-3 absolute here), orders of magnitude below
+# inter-neighbor spacing, so displaced true neighbors sink at most a rank
+# or two; 2 covers it (pinned vs float64 oracles in tests and re-verified
+# at 100k/1M on real TPU).  Kept small because the Pallas kernel's
+# selection cost grows with k+pad.
+_RERANK_PAD = 2
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric_value"))

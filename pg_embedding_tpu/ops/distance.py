@@ -84,14 +84,22 @@ def pairwise_dist(queries: jax.Array, points: jax.Array, metric) -> jax.Array:
     bf16 = points.dtype == jnp.bfloat16
     qd = queries.astype(jnp.bfloat16) if bf16 else queries
     pf = points.astype(jnp.float32)
+    # f32 storage: force true-f32 dots (TPU f32 matmuls otherwise run a
+    # single bf16 MXU pass — DEFAULT precision — whose O(1) absolute score
+    # error breaks exact-oracle ordering and perturbs heuristic pruning);
+    # bf16 storage explicitly opts into the fast single-pass trade.
+    prec = (jax.lax.Precision.DEFAULT if bf16
+            else jax.lax.Precision.HIGHEST)
     if m == Metric.L2.value:
         qq = jnp.sum(queries * queries, axis=-1, keepdims=True)      # [B,1]
         pp = jnp.sum(pf * pf, axis=-1)[None, :]                      # [1,N]
-        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32)
+        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32,
+                     precision=prec)
         ssd = jnp.maximum(qq + pp - 2.0 * qp, 0.0)
         return jnp.sqrt(ssd)
     if m == Metric.COSINE.value:
-        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32)
+        qp = jnp.dot(qd, points.T, preferred_element_type=jnp.float32,
+                     precision=prec)
         nq = jnp.sum(queries * queries, axis=-1, keepdims=True)      # [B,1]
         npts = jnp.sum(pf * pf, axis=-1)[None, :]                    # [1,N]
         return 1.0 - qp * jax.lax.rsqrt(jnp.maximum(nq * npts, 1e-30))

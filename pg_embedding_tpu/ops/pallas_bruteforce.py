@@ -58,7 +58,7 @@ def _insert_pass(run_d, run_i, m, gid):
 def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
                        del_ref, out_d_ref, out_i_ref, scores, run_d, run_i,
                        *, k: int, tile_n: int, metric_value: int,
-                       n_tiles: int, d_tiles: int):
+                       n_tiles: int, d_tiles: int, select_head: int):
     ti = pl.program_id(1)
     di = pl.program_id(2)
 
@@ -72,30 +72,49 @@ def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
     # scores transposed: [TILE_N, QT] — queries in lanes. Wide dims
     # (e.g. GIST 960-d) are tiled over the innermost grid axis and the
     # query-point dot accumulates into the scores scratch.
-    pq = jax.lax.dot_general(
-        pts, q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [TILE_N, QT]
+    #
+    # Precision: TPU f32 matmuls default to ONE bf16 MXU pass (~2^-9
+    # relative error — at |p||q| ~ 2e3 that is O(1) absolute on scores and
+    # displaces true neighbors MANY ranks, unfixable by any sane rerank
+    # pad).  Requesting Precision.HIGHEST fixes accuracy but its in-kernel
+    # lowering blows the scoped-VMEM stack past 16MB at the fast tile
+    # shapes, so do the bf16x3 split by hand, accumulating each single-pass
+    # product straight into the scores scratch (one [TILE_N, QT] live
+    # temporary at a time).  Dropping the lo*lo term leaves ~2^-18 relative
+    # error — far below inter-neighbor spacing; _RERANK_PAD covers it.
+    p_hi = pts.astype(jnp.bfloat16)
+    p_lo = (pts - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    q_hi = q.astype(jnp.bfloat16)
+    q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [TILE_N, QT]
 
     @pl.when(di == 0)
     def _acc_init():
-        scores[:] = pq
+        scores[:] = _dot(p_hi, q_hi)
 
     @pl.when(di > 0)
     def _acc():
-        scores[:] = scores[:] + pq
+        scores[:] = scores[:] + _dot(p_hi, q_hi)
+
+    scores[:] = scores[:] + _dot(p_hi, q_lo)
+    scores[:] = scores[:] + _dot(p_lo, q_hi)
 
     @pl.when(di == d_tiles - 1)
     def _select_phase():
         _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
                              out_d_ref, out_i_ref, scores, run_d, run_i,
                              k=k, tile_n=tile_n, metric_value=metric_value,
-                             n_tiles=n_tiles)
+                             n_tiles=n_tiles, select_head=select_head)
 
 
 def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
                          out_d_ref, out_i_ref, scores, run_d, run_i, *,
                          k: int, tile_n: int, metric_value: int,
-                         n_tiles: int):
+                         n_tiles: int, select_head: int):
     pq = scores[:]                                 # accumulated [TILE_N, QT]
     if metric_value == Metric.L2.value:
         pnorm = pnorm_ref[:]                       # [TILE_N, 1] |p|^2
@@ -109,20 +128,24 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
         s = 1.0 - pq * jax.lax.rsqrt(jnp.maximum(pnorm * qn, 1e-30))
 
     start = ti * tile_n
-    ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    # validity depends only on the ROW — keep it a [TILE_N, 1] column and
+    # let the where broadcast, instead of materializing full-size iota /
+    # mask temporaries (every live [TILE_N, QT] value counts against the
+    # 16MB scoped-VMEM stack; the fast tile shapes sit right at the edge)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
     dead = del_ref[:]                              # [TILE_N, 1]
-    ok = (ids < n_valid_ref[0]) & ~dead
+    ok = ((start + rown) < n_valid_ref[0]) & ~dead
     s = jnp.where(ok, s, _INF)
+    scores[:] = s
 
     # tile-level early-out: skip the selection passes when this corpus tile
-    # holds nothing better than the current per-query worst
-    tile_has_candidates = jnp.any(s < run_d[k - 1:k, :])
+    # holds nothing better than the current per-query worst (the per-query
+    # tile-min is a cheap sublane reduce; no full-size mask temp)
+    tile_min = jnp.min(s, axis=0)                  # [QT]
+    tile_has_candidates = jnp.any(tile_min < run_d[k - 1, :])
 
-    @pl.when(tile_has_candidates)
-    def _select():
-        scores[:] = s
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        for _ in range(k):
+    def _passes(n_passes):
+        for _ in range(n_passes):
             sc = scores[:]
             m = jnp.min(sc, axis=0)                # [QT] sublane reduce
             a = jnp.argmin(sc, axis=0)             # [QT]
@@ -132,7 +155,26 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
             nd, ni = _insert_pass(rd, ri, m, gid)
             run_d[:] = jnp.where(better[None, :], nd, rd)
             run_i[:] = jnp.where(better[None, :], ni, ri)
+            rows = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
             scores[:] = jnp.where(rows == a[None, :], _INF, sc)
+
+    # Once the running top-k is warm, a corpus tile almost never holds more
+    # than a few candidates per query (expected k*tile_n/N), so run a few
+    # passes unconditionally and gate the rest behind ONE conditional per
+    # tile.  (One dynamic branch per tile is fine — round 1 shipped that;
+    # a branch per PASS measured 50x slower: dynamic conditionals break
+    # Mosaic's pipelining.)
+    head = min(select_head, k)
+
+    @pl.when(tile_has_candidates)
+    def _select():
+        _passes(head)
+        if k > head:
+            more = jnp.any(jnp.min(scores[:], axis=0) < run_d[k - 1, :])
+
+            @pl.when(more)
+            def _tail():
+                _passes(k - head)
 
     @pl.when(ti == n_tiles - 1)
     def _finish():
@@ -145,10 +187,10 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric_value", "tile_n", "tile_q",
-                                    "tile_d", "interpret"))
+                                    "tile_d", "interpret", "select_head"))
 def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
                   metric_value: int, tile_n: int, tile_q: int, tile_d: int,
-                  interpret: bool):
+                  interpret: bool, select_head: int = 64):
     b, d = queries.shape
     n_pad = points.shape[0]
     n_tiles = n_pad // tile_n
@@ -176,7 +218,7 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
                                metric_value=metric_value, n_tiles=n_tiles,
-                               d_tiles=d_tiles)
+                               d_tiles=d_tiles, select_head=select_head)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(q_tiles, n_tiles, d_tiles),
@@ -203,7 +245,8 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                         n_valid=None, deleted=None, tile_n: int | None = None,
                         tile_q: int | None = None,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        select_head: int = 64):
     """Exact top-k — the unified fast-path entry point for all three
     metrics.
 
@@ -255,6 +298,15 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
         tile_q = 1024 if (metric is Metric.L2 and not wide) else 512
     if tile_n is None:
         tile_n = 1024 if wide else 1536
+        # the selection phase is an unrolled k_run-pass loop over the
+        # [tile_n, tile_q] scores tile; Mosaic's scoped-VMEM stack grows
+        # with both, and at k_run=20/tile_n=1536/tile_q=1024 it overflows
+        # the 16MB budget (measured: 17.63M).  Shrink the corpus tile as
+        # k grows — corpus tiles just stream more, throughput loss is
+        # small next to an OOM.
+        if k_run > 12:
+            tile_n = min(tile_n, 1024 if k_run <= 24 else
+                         (640 if k_run <= 48 else 384))
 
     # wide dims (GIST 960-d etc.) are tiled over the innermost grid axis;
     # zero-padding D changes neither dots nor norms
@@ -294,7 +346,8 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                                  k=k_run,
                                  metric_value=metric.value, tile_n=tile_n,
                                  tile_q=tile_q, tile_d=tile_d,
-                                 interpret=bool(interpret))
+                                 interpret=bool(interpret),
+                                 select_head=int(select_head))
     if k_run != k:
         return _rerank_exact(queries[:b, : orig_points.shape[1]],
                              orig_points, out_i[:b], k=k,
