@@ -97,12 +97,15 @@ class HnswIndex:
         self._qscale = None
         self._pcodes = None
         self._pscales = None
-        # visited-set structure (core/search.py): the exact bitmap costs
-        # capacity/8 bytes PER IN-FLIGHT QUERY (12.5MB at 100M rows — the
-        # SURVEY §7 scale hard part); past the threshold 'auto' switches to
-        # the fixed-size open-hash table (32KB/query at 8192 slots,
-        # corpus-size independent; rare overwrites only waste work)
-        self.visited_mode = "auto"        # "auto" | "bitmap" | "hash"
+        # visited-set structure (core/search.py): "dense" (default) needs
+        # NO visited memory — dedupe is all-lanes compares against the
+        # queues plus the monotone admit gate; results are identical to the
+        # exact bitmap (see _search_one docstring) while removing both the
+        # cap/8-bytes-per-query bitmap (the SURVEY §7 100M-scale hard part)
+        # and the dominant per-step scattered word reads+writes.  "bitmap"
+        # keeps the reference-layout bitmap as a cross-check oracle; "hash"
+        # the fixed-size open-hash table (32KB/query); "auto" = dense.
+        self.visited_mode = "dense"     # "dense"|"auto"|"bitmap"|"hash"
         self.hash_visited_min_cap = 4_000_000
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m,
@@ -253,12 +256,12 @@ class HnswIndex:
         return np.asarray(d), np.asarray(i)
 
     def _visited_slots(self, ef: int) -> int:
-        """0 = exact bitmap; else hash-table slot count (power of two,
-        sized ~4x the expected unique visits ef * maxM)."""
+        """-1 = dense dedupe (no visited memory; the default), 0 = exact
+        bitmap, else hash-table slot count (power of two, sized ~4x the
+        expected unique visits ef * maxM)."""
+        if self.visited_mode in ("dense", "auto"):
+            return -1
         if self.visited_mode == "bitmap":
-            return 0
-        if (self.visited_mode == "auto"
-                and self._graph.capacity < self.hash_visited_min_cap):
             return 0
         return 1 << max(13, (4 * ef * self.config.max_m - 1).bit_length())
 

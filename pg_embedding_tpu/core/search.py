@@ -80,7 +80,7 @@ def _merge_topk(d_a, i_a, d_b, i_b, k: int):
 def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                 metric_value: int, cand_cap: int,
                 expand_width: int = 1, qvectors=None, qscale=None,
-                pcodes=None, pscales=None, visited_slots: int = 0):
+                pcodes=None, pscales=None, visited_slots: int = -1):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
     hops, dist_evals); results ascending, -1/inf padded.
 
@@ -105,20 +105,41 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     transaction count is the lever that actually moves it.  Same exact
     rerank as the quantized path.
 
-    Visited set: ``visited_slots == 0`` (default) uses the exact per-query
-    bitmap (u32 words, cap/8 BYTES per in-flight query — the hnswalg.cpp
-    45-64 layout).  At 100M rows that is 12.5MB/query, which forbids large
-    batches (SURVEY.md §7 "visited-set memory").  ``visited_slots = 2^s``
-    switches to a fixed-size open-hash table with overwrite (4-way buckets,
-    multiplicative hashing): collisions may OVERWRITE older entries, so a
-    node can occasionally be re-expanded (wasted work, never wrong results)
-    and duplicate ids can reach the result queue — removed by a final
+    Visited set: ``visited_slots == -1`` (the default used by the API) is
+    the DENSE-DEDUPE mode — no visited memory at all.  The reference's
+    visited bitmap exists to stop re-evaluating seen nodes
+    (hnswalg.cpp:45-64), but it is provably redundant given the queues:
+    any node admitted earlier either (a) still sits in the result or
+    candidate queue — caught by an all-lanes compare of the new neighbor
+    ids against both queues (pure VPU, zero memory transactions) — or
+    (b) was displaced from the results, which can only happen once
+    res is full with entries all <= worst, so its distance >= the current
+    worst and the admit gate rejects it (the gate bound is monotonically
+    tightening).  Induction on steps: while results are not full every
+    admitted node is in res (inf slots lose any merge), so (a)/(b) is
+    exhaustive.  Rejected-but-never-admitted nodes may be re-SCORED
+    (wasted VPU work the reference's bitmap avoids), but never admitted,
+    expanded, or duplicated.  Identical results to the bitmap mode
+    (pinned by tests/test_search_parity.py::test_dense_matches_bitmap),
+    while eliminating BOTH the per-query cap/8-byte bitmap (12.5MB/query
+    at 100M rows — SURVEY.md §7 "visited-set memory") and the dominant
+    per-step HBM cost: the bitmap's T*maxM scattered word reads + writes
+    per step were ~16x more random transactions than the link/vector
+    gathers themselves.
+
+    ``visited_slots == 0`` keeps the exact per-query bitmap (u32 words,
+    the hnswalg.cpp:45-64 layout) as a cross-check oracle.
+    ``visited_slots = 2^s`` is a fixed-size open-hash table with overwrite
+    (4-way buckets): collisions may OVERWRITE older entries, so a node can
+    occasionally be re-expanded (wasted work, never wrong results) and
+    duplicate ids can reach the result queue — removed by a final
     id-dedupe pass.  32KB/query at 8192 slots regardless of corpus size."""
     cap = graph.capacity
     max_m = graph.max_m
     n_words = cap // 32
     t = expand_width
     tm = t * max_m
+    use_dense = visited_slots < 0
     use_hash = visited_slots > 0
     if use_hash:
         assert visited_slots & (visited_slots - 1) == 0, \
@@ -149,7 +170,10 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         return ((ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 30
                 ).astype(jnp.int32)
 
-    if use_hash:
+    if use_dense:
+        # no visited memory: dedupe is dense compares against the queues
+        visited = jnp.zeros((1,), jnp.uint32)
+    elif use_hash:
         visited = jnp.full((visited_slots,), -1, jnp.int32)
         zero = jnp.zeros((1,), jnp.int32)
         slot0 = _buckets(zero)[0, _slot_choice(zero)[0]]
@@ -196,7 +220,17 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
 
         safe_nbrs = jnp.where(valid, nbrs, 0)
 
-        if use_hash:
+        if use_dense:
+            # dense dedupe (see module/function docs): a neighbor id is
+            # skipped iff it currently sits in either queue or was popped
+            # this very step — all-lanes compares, no memory transactions.
+            # Anything else previously admitted is >= the current worst
+            # and dies at the admit gate below.
+            in_cand = jnp.any(safe_nbrs[:, None] == cand_i[None, :], axis=1)
+            in_res = jnp.any(safe_nbrs[:, None] == res_i[None, :], axis=1)
+            in_pop = jnp.any(safe_nbrs[:, None] == pop_i[None, :], axis=1)
+            unvisited = ~(in_cand | in_res | in_pop)
+        elif use_hash:
             buckets = _buckets(safe_nbrs)                      # [TM, 4]
             unvisited = ~jnp.any(visited[buckets] == safe_nbrs[:, None],
                                  axis=1)
@@ -206,8 +240,8 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
             unvisited = (visited[words] & bits) == 0
 
         # first-occurrence dedupe across the expanded rows (two popped
-        # candidates may share neighbors; the visited structure must see
-        # each id once so the scatter stays conflict-free)
+        # candidates may share neighbors; each id must be seen once so the
+        # visited scatter stays conflict-free / the queues stay dup-free)
         eq_earlier = (safe_nbrs[None, :] == safe_nbrs[:, None]) & (
             slot_ids[None, :] < slot_ids[:, None])
         dup = jnp.any(eq_earlier & valid[None, :], axis=1)
@@ -222,7 +256,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                                       axis=1)[:, 0]
             ins = jnp.where(process, ins, visited_slots)  # drop non-processed
             visited = visited.at[ins].set(safe_nbrs, mode="drop")
-        else:
+        elif not use_dense:
             # mark visited (hnswalg.cpp:92-93): bits are unset and pairwise
             # distinct within each word, so scatter-add == scatter-or
             add_bits = jnp.where(process, bits, jnp.uint32(0))
@@ -299,7 +333,7 @@ def search_graph_quantized(graph: GraphState, queries: jax.Array,
                            qvectors: jax.Array, qscale: jax.Array, *,
                            ef: int, metric_value: int,
                            cand_cap: int | None = None, expand_width: int = 1,
-                           visited_slots: int = 0
+                           visited_slots: int = -1
                            ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer with int8 quantized traversal + exact
     rerank (see _search_one). qvectors: int8[cap, D]; qscale: f32[cap]
@@ -322,7 +356,7 @@ def search_graph_packed(graph: GraphState, queries: jax.Array,
                         pcodes: jax.Array, pscales: jax.Array, *,
                         ef: int, metric_value: int,
                         cand_cap: int | None = None, expand_width: int = 1,
-                        visited_slots: int = 0
+                        visited_slots: int = -1
                         ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer over packed neighbor-code records + exact
     rerank (see _search_one). pcodes: int8[cap, maxM, D] (node i's row j =
@@ -344,7 +378,7 @@ def search_graph_packed(graph: GraphState, queries: jax.Array,
                                     "expand_width", "visited_slots"))
 def search_graph(graph: GraphState, queries: jax.Array, *, ef: int,
                  metric_value: int, cand_cap: int | None = None,
-                 expand_width: int = 1, visited_slots: int = 0
+                 expand_width: int = 1, visited_slots: int = -1
                  ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer.
 

@@ -115,6 +115,42 @@ def test_single_node_graph():
     assert float(np.asarray(d)[0, 0]) == pytest.approx(2.0)
 
 
+@pytest.mark.parametrize("t", [1, 4])
+@pytest.mark.parametrize("metric", list(Metric))
+def test_dense_matches_bitmap(metric, t):
+    """The dense-dedupe mode (visited_slots=-1, the default: no visited
+    memory, queue-compare + monotone-gate dedupe) must return EXACTLY the
+    bitmap mode's results with the same hop counts — it is a proof-backed
+    re-expression of the same traversal (core/search.py docstring), not an
+    approximation."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(scale=4.0, size=(30, 16))
+    pts = (centers[rng.integers(0, 30, 3000)] +
+           rng.normal(size=(3000, 16))).astype(np.float32)
+    qs = (centers[rng.integers(0, 30, 24)] +
+          rng.normal(size=(24, 16))).astype(np.float32)
+    cfg = HnswConfig(dims=16, m=8, ef_construction=48, ef_search=48,
+                     metric=metric)
+    ri = RefHnswIndex(cfg)
+    ri.build(pts, np.arange(len(pts)))
+    g = _graph_from_ref(ri)
+
+    db, ib, sb = search_graph(g, jnp.asarray(qs), ef=48,
+                              metric_value=metric.value, expand_width=t,
+                              visited_slots=0)
+    dd, id_, sd = search_graph(g, jnp.asarray(qs), ef=48,
+                               metric_value=metric.value, expand_width=t,
+                               visited_slots=-1)
+    assert np.array_equal(np.asarray(ib), np.asarray(id_))
+    assert np.array_equal(np.asarray(db), np.asarray(dd))
+    assert np.array_equal(np.asarray(sb.hops), np.asarray(sd.hops))
+    # no duplicate ids may surface
+    for r in range(len(qs)):
+        ids = np.asarray(id_)[r]
+        ids = ids[ids >= 0]
+        assert len(ids) == len(set(ids.tolist()))
+
+
 @pytest.mark.parametrize("t", [2, 4, 8])
 def test_expand_width_recall(t):
     """Beam widening (expand_width=T) expands a superset of the reference's
