@@ -70,9 +70,11 @@ def bench_tpu(pts, qs):
 
     # warm the compile caches AT THE REAL CAPACITY (the insert program is
     # shape-specialized per capacity) so the build-rate number measures
-    # execution, not compilation
+    # execution, not compilation.  One big slab + one ragged small slab
+    # covers both slab programs the bulk path uses.
     warm = HnswIndex(cfg, initial_capacity=N + 128, max_insert_batch=128)
-    warm.add(pts[:256])
+    big, small = warm.slab_batches
+    warm.add(pts[: big * 128 + 128])
     np.asarray(warm.graph.n_nodes)
     del warm
 

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Deep10M-class single-chip demo (BASELINE.md config 4; VERDICT r1 item 4).
+
+Builds a 10M x 128d index on ONE chip and serves batched graph + exact
+queries.  The two former scale blockers are gone:
+
+  * visited-set memory (SURVEY.md §7): the dense-dedupe traversal needs NO
+    per-query visited structure (core/search.py) — the old bitmap cost
+    cap/8 bytes/query (40GB for a 1024-query batch at 10M).
+  * per-batch graph copies: the insert path donates its buffers
+    (core/build.py insert_batch_masked_donating), so the 5.1GB vector and
+    1.3GB link arrays update in place.
+
+Memory math at 10M x 128d on a 16GB v5e:
+  vectors f32 [10M,128]          5.12 GB
+  links   i32 [10M,32]           1.28 GB
+  link_counts/deleted            ~0.05 GB
+  int8 traversal shadow (opt)    1.28 GB + scales 0.04 GB
+  search scratch (B=1024)        ~0.1 GB
+  => ~6.5 GB static + batch staging.  Packed records (maxM*D bytes/node =
+  41 GB) do NOT fit at this scale on one chip — they are the <=2M single
+  -chip / sharded-tier option; quantized traversal is the 10M knob.
+
+CPU reference comparison is optional (BENCH_10M_CPU=1): the single-thread
+build takes ~75 min on this host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+from pg_embedding_tpu import HnswConfig, HnswIndex  # noqa: E402
+from pg_embedding_tpu.core.search import (  # noqa: E402
+    search_graph, search_graph_quantized)
+
+N, DIMS, M, EFC, EFS, K, NQ, REPS = 10_000_000, 128, 16, 64, 64, 10, 1024, 4
+CACHE_IDX = "/tmp/bench10m_idx.npz"
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def recall(ids, oracle):
+    return float(np.mean([
+        len(set(ids[r][:K].tolist()) & set(oracle[r][:K].tolist())) / K
+        for r in range(ids.shape[0])]))
+
+
+def make_data():
+    rng = np.random.default_rng(4242)
+    n_centers = 50_000
+    centers = rng.normal(scale=4.0, size=(n_centers, DIMS)).astype(np.float32)
+    pts = np.empty((N, DIMS), np.float32)
+    step = 1_000_000
+    for off in range(0, N, step):
+        a = rng.integers(0, n_centers, step)
+        pts[off: off + step] = (
+            centers[a] + rng.normal(size=(step, DIMS)).astype(np.float32))
+    qs = (centers[rng.integers(0, n_centers, NQ)] +
+          rng.normal(size=(NQ, DIMS)).astype(np.float32)).astype(np.float32)
+    return pts, qs
+
+
+def main():
+    pts, qs = make_data()
+    log(f"data ready: {pts.nbytes / 1e9:.1f} GB host")
+
+    cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=EFS)
+    if os.path.exists(CACHE_IDX):
+        idx = HnswIndex.load(CACHE_IDX)
+        log(f"loaded cached index ({idx.n_nodes} nodes)")
+    else:
+        idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=128)
+        # warm the insert program at the real capacity so the build-rate
+        # number measures execution, not the one-time compile
+        warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=128)
+        warm.add(pts[:256])
+        np.asarray(warm.graph.n_nodes)
+        del warm
+        t0 = time.time()
+        idx.build(pts, np.arange(N))
+        np.asarray(idx.graph.n_nodes)
+        dt = time.time() - t0
+        log(f"TPU build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
+        idx.save(CACHE_IDX)
+
+    qdev = jnp.asarray(qs)
+    t0 = time.time()
+    _, ol, _ = idx.exact_search(qs, K)
+    log(f"exact oracle batch: {time.time() - t0:.1f}s "
+        f"({NQ / (time.time() - t0):.0f} QPS incl. compile)")
+    oracle = ol.astype(np.int64)
+    t0 = time.time()
+    for _ in range(REPS):
+        de, ie, ve = idx.exact_search(qs, K)
+    qps_e = REPS * NQ / (time.time() - t0)
+    log(f"exact sweep: {qps_e:.0f} QPS streaming (recall 1.0)")
+
+    out = {"n": N, "dims": DIMS, "exact_qps": round(qps_e, 1)}
+    for t in (4, 8):
+        d, i, _ = search_graph(idx.graph, qdev, ef=EFS, metric_value=0,
+                               expand_width=t)
+        r = recall(np.asarray(i), oracle)
+        t0 = time.time()
+        for _ in range(REPS):
+            d, i, _ = search_graph(idx.graph, qdev, ef=EFS, metric_value=0,
+                                   expand_width=t)
+        np.asarray(d)
+        qps = REPS * NQ / (time.time() - t0)
+        log(f"graph T={t}: {qps:.0f} QPS, recall@10 {r:.4f}")
+        out[f"graph_qps_t{t}"] = round(qps, 1)
+        out[f"graph_recall_t{t}"] = round(r, 4)
+
+    # int8 quantized traversal (the 10M memory knob; exact rerank)
+    qv, qsc = idx._ensure_quantized()
+    np.asarray(qv[0, 0])
+    d, i, _ = search_graph_quantized(idx.graph, qdev, qv, qsc, ef=EFS,
+                                     metric_value=0, expand_width=8)
+    r = recall(np.asarray(i), oracle)
+    t0 = time.time()
+    for _ in range(REPS):
+        d, i, _ = search_graph_quantized(idx.graph, qdev, qv, qsc, ef=EFS,
+                                         metric_value=0, expand_width=8)
+    np.asarray(d)
+    qps = REPS * NQ / (time.time() - t0)
+    log(f"quantized T=8: {qps:.0f} QPS, recall@10 {r:.4f}")
+    out["quant_qps_t8"] = round(qps, 1)
+    out["quant_recall_t8"] = round(r, 4)
+
+    if os.environ.get("BENCH_10M_CPU") == "1":
+        from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex
+
+        cpu = CpuRefIndex(DIMS, m=M, ef_construction=EFC)
+        t0 = time.time()
+        cpu.build(pts, np.arange(N))
+        log(f"CPU build: {N / (time.time() - t0):.0f} vec/s")
+        got = np.stack([cpu.search(q, EFS)[1][:K] for q in qs[:256]])
+        log(f"CPU recall: {recall(got, oracle[:256]):.4f}")
+        t0 = time.time()
+        for q in qs[:256]:
+            cpu.search(q, EFS)
+        log(f"CPU QPS: {256 / (time.time() - t0):.0f}")
+
+    log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

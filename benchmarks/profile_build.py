@@ -34,13 +34,21 @@ def log(msg):
     print(msg, flush=True)
 
 
+def _sync(out):
+    # materialize ONE SMALL leaf only: np.asarray of a big leaf would drag
+    # the whole array through the tunnel and time the transfer, not the op
+    leaves = jax.tree_util.tree_leaves(out)
+    small = min(leaves, key=lambda x: getattr(x, "size", 1 << 60))
+    np.asarray(small)
+
+
 def timeit(fn, *args, reps=REPS):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
+    _sync(out)
     return (time.time() - t0) / reps
 
 
@@ -92,9 +100,16 @@ def main():
     cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=64)
     idx = HnswIndex(cfg, initial_capacity=N + 512, max_insert_batch=128)
     t0 = time.time()
-    idx.build(pts[:N - 1024])
+    idx.build(pts[:N - 4096])
     np.asarray(idx.graph.n_nodes)
-    log(f"build to {N - 1024}: {(N - 1024) / (time.time() - t0):.0f} vec/s")
+    log(f"build to {N - 4096}: {(N - 4096) / (time.time() - t0):.0f} vec/s "
+        f"(incl. one-time compile)")
+    # steady-state api-level insert rate at ~full graph, warm program
+    t0 = time.time()
+    idx.add(pts[N - 4096: N - 1024])
+    np.asarray(idx.graph.n_nodes)
+    dt = time.time() - t0
+    log(f"warm add rate at ~100k: {3072 / dt:.0f} vec/s")
     g = idx.graph
     mv = cfg.metric.value
 

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import HnswConfig, Metric
-from .core.build import build_schedule, insert_batch_masked_donating
+from .core.build import (build_schedule, insert_batch_masked_donating,
+                         insert_slab_donating)
 from .core.graph import GraphState, empty_graph, grow_graph
 from .core.search import (search_graph, search_graph_packed,
                           search_graph_quantized)
@@ -70,6 +71,10 @@ class HnswIndex:
         # with ~T-fold fewer loop iterations (core/search.py docstring);
         # a serving knob, not part of the index format
         self.search_expand_width = int(search_expand_width)
+        # bulk-insert slab grains, in units of max_insert_batch batches:
+        # (big, small).  A slab = one host->device upload + one dispatch
+        # running that many sequential masked batch-inserts on device.
+        self.slab_batches = (128, 16)
         # auto-routing crossover for search(mode="auto"): corpora up to this
         # size are served by the exact MXU sweep (recall 1.0) when the query
         # batch is large enough; see _use_exact.
@@ -193,17 +198,54 @@ class HnswIndex:
         base = self.n_nodes
         cfg = self.config
         b = self.max_insert_batch
-        for off, cnt in build_schedule(n, b):
-            # fixed batch shape + traced n_insert => one compile per capacity
-            chunk = np.zeros((b, cfg.dims), np.float32)
-            chunk[:cnt] = vectors[off: off + cnt]
-            # donating variant: the old graph is dead after rebinding, and
-            # in-place aliasing avoids a capacity-sized copy per batch
-            self._graph = insert_batch_masked_donating(
-                self._graph, jnp.asarray(chunk), jnp.int32(cnt),
-                ef_construction=cfg.ef_construction,
-                m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value,
-                expand_width=self.search_expand_width)
+        if n > 4 * b:
+            # bulk path: one host->device upload + ONE dispatch per
+            # multi-batch slab (the batch loop runs inside the compiled
+            # program).  Per-batch host dispatch costs ~150ms of tunnel
+            # latency vs ~15-30ms of device compute; slabs remove it
+            # entirely.  Two slab grains (big for the bulk, small for the
+            # tail) bound masked no-op waste at small_batches-1 batches
+            # while keeping the compiled-program count at two.
+            big, small = self.slab_batches
+            schedule = []                      # (offset, rows, n_batches)
+            off = 0
+            while n - off >= big * b:
+                schedule.append((off, big * b, big))
+                off += big * b
+            while off < n:
+                rows = min(small * b, n - off)
+                schedule.append((off, rows, small))
+                off += rows
+
+            def _upload(s, rows, nb):
+                buf = np.zeros((nb * b, cfg.dims), np.float32)
+                buf[:rows] = vectors[s: s + rows]
+                return jnp.asarray(buf)
+
+            nxt = _upload(*schedule[0])
+            for si, (s, rows, nb) in enumerate(schedule):
+                dev = nxt
+                if si + 1 < len(schedule):
+                    nxt = _upload(*schedule[si + 1])  # overlap with insert
+                self._graph = insert_slab_donating(
+                    self._graph, dev, jnp.int32(rows), batch=b,
+                    n_batches=nb, ef_construction=cfg.ef_construction,
+                    m=cfg.m, max_m=cfg.max_m,
+                    metric_value=cfg.metric.value,
+                    expand_width=self.search_expand_width)
+        else:
+            for off, cnt in build_schedule(n, b):
+                # fixed batch shape + traced n_insert => one compile per
+                # capacity
+                chunk = np.zeros((b, cfg.dims), np.float32)
+                chunk[:cnt] = vectors[off: off + cnt]
+                # donating variant: the old graph is dead after rebinding,
+                # and in-place aliasing avoids a capacity-sized copy/batch
+                self._graph = insert_batch_masked_donating(
+                    self._graph, jnp.asarray(chunk), jnp.int32(cnt),
+                    ef_construction=cfg.ef_construction,
+                    m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value,
+                    expand_width=self.search_expand_width)
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n

@@ -206,3 +206,31 @@ def test_hash_visited_set_matches_bitmap(rng):
     r1 = np.mean([len(set(lab1[r]) & set(le[r][ve[r]])) / 10
                   for r in range(len(qs))])
     assert r1 >= r0 - 0.01, (r0, r1)
+
+
+def test_slab_insert_matches_per_batch(rng):
+    """The one-dispatch slab path (insert_slab_donating: fori over masked
+    batch inserts, slab sliced on device) must produce the IDENTICAL graph
+    to the host-driven per-batch path — same scatters in the same order,
+    just without per-batch dispatch.  Exercises big slabs, small slabs, and
+    a ragged tail."""
+    n, dims = 150, 16
+    pts = rng.normal(size=(n, dims)).astype(np.float32)
+    cfg = HnswConfig(dims=dims, m=6, ef_construction=20, ef_search=20)
+
+    a = HnswIndex(cfg, max_insert_batch=8)
+    a.slab_batches = (4, 2)         # slabs of 32 and 16 rows
+    a.build(pts, np.arange(n))      # n=150: 4 big + small slabs + ragged
+
+    b = HnswIndex(cfg, max_insert_batch=8)
+    for off in range(0, n, 24):     # chunks <= 4*batch => per-batch path
+        b.add(pts[off: off + 24], np.arange(off, min(off + 24, n)))
+
+    assert int(a.n_nodes) == int(b.n_nodes) == n
+    np.testing.assert_array_equal(np.asarray(a.graph.links)[:n],
+                                  np.asarray(b.graph.links)[:n])
+    np.testing.assert_array_equal(np.asarray(a.graph.link_counts)[:n],
+                                  np.asarray(b.graph.link_counts)[:n])
+    np.testing.assert_allclose(np.asarray(a.graph.vectors)[:n],
+                               np.asarray(b.graph.vectors)[:n])
+    a.check_integrity()
