@@ -66,15 +66,15 @@ def bench_tpu(pts, qs):
     log(f"TPU devices: {jax.devices()}")
     cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EF_CONSTRUCTION,
                      ef_search=EF_SEARCH)
-    idx = HnswIndex(cfg, max_insert_batch=128)
+    idx = HnswIndex(cfg, max_insert_batch=256)
 
     # warm the compile caches AT THE REAL CAPACITY (the insert program is
     # shape-specialized per capacity) so the build-rate number measures
     # execution, not compilation.  One big slab + one ragged small slab
     # covers both slab programs the bulk path uses.
-    warm = HnswIndex(cfg, initial_capacity=N + 128, max_insert_batch=128)
+    warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
     big, small = warm.slab_batches
-    warm.add(pts[: big * 128 + 128])
+    warm.add(pts[: (big + 1) * 256])
     np.asarray(warm.graph.n_nodes)
     del warm
 
@@ -90,7 +90,7 @@ def bench_tpu(pts, qs):
 
     import jax.numpy as jnp
 
-    from pg_embedding_tpu.core.search import search_graph
+    from pg_embedding_tpu.core.search import search_graph, search_graph_packed
     from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
 
     qdev = jnp.asarray(qs)
@@ -114,6 +114,24 @@ def bench_tpu(pts, qs):
         f"{lat_g * 1000:.0f}ms/batch sync (batch {N_QUERIES}, "
         f"ef={EF_SEARCH}), recall@10={rec_g:.4f}")
 
+    # --- packed graph mode (serving config: co-located neighbor codes,
+    # one record gather per beam step, exact f32 rerank) ----------------
+    pc, ps = idx._ensure_packed()
+    np.asarray(ps[0])
+    dd, ii, _ = search_graph_packed(idx.graph, qdev, pc, ps, ef=EF_SEARCH,
+                                    metric_value=0, expand_width=8)
+    rec_p = recall_at_k(np.asarray(idx._labels[np.maximum(ii, 0)]),
+                        np.asarray(ii >= 0), ol, K)
+    t0 = time.time()
+    for _ in range(QPS_REPS):
+        dd, ii, _ = search_graph_packed(idx.graph, qdev, pc, ps,
+                                        ef=EF_SEARCH, metric_value=0,
+                                        expand_width=8)
+    np.asarray(dd)
+    qps_p = QPS_REPS * N_QUERIES / (time.time() - t0)
+    log(f"TPU packed graph search: {qps_p:.0f} QPS streaming (T=8), "
+        f"recall@10={rec_p:.4f}")
+
     # --- auto mode: the cost router picks the exact MXU sweep here ------
     d, l, v = idx.search(qs, K, mode="auto")
     rec_a = recall_at_k(l, v, ol, K)
@@ -132,6 +150,7 @@ def bench_tpu(pts, qs):
         f"recall@10={rec_a:.4f}")
     return {"build_vps": N / build_s, "qps": qps_a, "recall": rec_a,
             "graph_qps": qps_g, "graph_recall": rec_g,
+            "packed_qps": qps_p, "packed_recall": rec_p,
             "latency_ms": lat_a * 1000, "oracle": ol}
 
 
@@ -185,7 +204,9 @@ def main():
             f"auto QPS ratio: {vs:.2f}x (recall {tpu['recall']:.3f} vs CPU "
             f"{cpu['recall']:.3f}); graph QPS ratio: "
             f"{tpu['graph_qps'] / cpu['qps']:.2f}x "
-            f"(recall {tpu['graph_recall']:.3f})")
+            f"(recall {tpu['graph_recall']:.3f}); packed graph ratio: "
+            f"{tpu['packed_qps'] / cpu['qps']:.2f}x "
+            f"(recall {tpu['packed_recall']:.3f})")
     print(json.dumps({
         "metric": ("SIFT-like 100k 128-d L2 QPS/chip (streaming, k=10, "
                    "recall@10=1.0 exact route; m=16/efc=64/efs=64; "

@@ -78,13 +78,16 @@ def main():
         idx = HnswIndex.load(CACHE_IDX)
         log(f"loaded cached index ({idx.n_nodes} nodes)")
     else:
-        idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=128)
-        # warm the insert program at the real capacity so the build-rate
-        # number measures execution, not the one-time compile
-        warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=128)
-        warm.add(pts[:256])
+        # warm the slab-insert programs at the REAL capacity so the
+        # build-rate number measures execution, not the one-time compile.
+        # Warm BEFORE allocating the main graph: two 6.4GB graphs coexist
+        # otherwise and 10M x 128d would not leave room for both.
+        warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
+        big, _ = warm.slab_batches
+        warm.add(pts[: (big + 1) * 256])
         np.asarray(warm.graph.n_nodes)
         del warm
+        idx = HnswIndex(cfg, max_insert_batch=256)
         t0 = time.time()
         idx.build(pts, np.arange(N))
         np.asarray(idx.graph.n_nodes)
