@@ -83,7 +83,25 @@ def bench_tpu(pts, qs):
     np.asarray(idx.graph.n_nodes)   # axon: only host reads truly sync
     build_s = time.time() - t0
     log(f"TPU build {N} vecs: {build_s:.1f}s = {N / build_s:.0f} vec/s "
-        f"(excl. one-time compile of the build program)")
+        f"(default build_candidates=auto -> MXU exact-sweep candidates; "
+        f"excl. one-time compile)")
+
+    # parity-mode build (beam-search candidates, strict reference
+    # construction semantics) — timed separately with its own warm
+    warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256,
+                     build_candidates="beam")
+    warm.add(pts[: (big + 1) * 256])
+    np.asarray(warm.graph.n_nodes)
+    del warm
+    idx_beam = HnswIndex(cfg, max_insert_batch=256,
+                         build_candidates="beam")
+    t0 = time.time()
+    idx_beam.build(pts)
+    np.asarray(idx_beam.graph.n_nodes)
+    beam_s = time.time() - t0
+    log(f"TPU build (parity beam mode): {beam_s:.1f}s = "
+        f"{N / beam_s:.0f} vec/s")
+    del idx_beam
 
     # oracle (exact seq-scan analog) on device
     _, ol, ov = idx.exact_search(qs, K)
@@ -148,7 +166,8 @@ def bench_tpu(pts, qs):
     log(f"TPU auto search: {qps_a:.0f} QPS streaming, "
         f"{lat_a * 1000:.0f}ms/batch sync (batch {N_QUERIES}), "
         f"recall@10={rec_a:.4f}")
-    return {"build_vps": N / build_s, "qps": qps_a, "recall": rec_a,
+    return {"build_vps": N / build_s, "beam_build_vps": N / beam_s,
+            "qps": qps_a, "recall": rec_a,
             "graph_qps": qps_g, "graph_recall": rec_g,
             "packed_qps": qps_p, "packed_recall": rec_p,
             "latency_ms": lat_a * 1000, "oracle": ol}
@@ -200,17 +219,21 @@ def main():
 
     vs = tpu["qps"] / cpu["qps"] if cpu else float("nan")
     if cpu:
-        log(f"build-rate ratio: {tpu['build_vps'] / cpu['build_vps']:.2f}x; "
-            f"auto QPS ratio: {vs:.2f}x (recall {tpu['recall']:.3f} vs CPU "
-            f"{cpu['recall']:.3f}); graph QPS ratio: "
-            f"{tpu['graph_qps'] / cpu['qps']:.2f}x "
+        log(f"build-rate ratio: {tpu['build_vps'] / cpu['build_vps']:.2f}x "
+            f"default / {tpu['beam_build_vps'] / cpu['build_vps']:.2f}x "
+            f"parity-beam; auto QPS ratio: {vs:.2f}x (recall "
+            f"{tpu['recall']:.3f} vs CPU {cpu['recall']:.3f}); "
+            f"graph QPS ratio: {tpu['graph_qps'] / cpu['qps']:.2f}x "
             f"(recall {tpu['graph_recall']:.3f}); packed graph ratio: "
             f"{tpu['packed_qps'] / cpu['qps']:.2f}x "
             f"(recall {tpu['packed_recall']:.3f})")
+    bfac = tpu["build_vps"] / cpu["build_vps"] if cpu else float("nan")
     print(json.dumps({
         "metric": ("SIFT-like 100k 128-d L2 QPS/chip (streaming, k=10, "
                    "recall@10=1.0 exact route; m=16/efc=64/efs=64; "
-                   "graph mode + latency in stderr)"),
+                   f"build {tpu['build_vps']:.0f} vec/s = {bfac:.2f}x CPU; "
+                   f"packed graph {tpu['packed_qps']:.0f} QPS at "
+                   f"recall {tpu['packed_recall']:.3f}; details in stderr)"),
         "value": round(tpu["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs == vs else None,

@@ -57,6 +57,7 @@ class HnswIndex:
                  max_insert_batch: int = 256,
                  search_expand_width: int = 4,
                  build_expand_width: int = 8,
+                 build_candidates: str = "auto",
                  storage_dtype: str = "float32",
                  quantized_traversal: bool = False,
                  packed_traversal: bool = False) -> None:
@@ -78,6 +79,27 @@ class HnswIndex:
         # explores a superset of candidates: build recall 0.9953 -> 0.9992
         # at 100k) — a knob the serial reference cannot express.
         self.build_expand_width = int(build_expand_width)
+        # construction candidate generation:
+        #   "beam"  — batched searchBaseLayer, strict reference parity
+        #             (hnswalg.cpp:229; link-level parity pinned in tests)
+        #   "exact" — full MXU corpus sweep per batch (core/build.py
+        #             _exact_candidates): true top-efc candidate sets, much
+        #             faster below ~1M rows, strictly better graph quality;
+        #             waives link-level parity with the reference
+        #   "auto"  — exact while the graph is below exact_build_threshold,
+        #             beam beyond (the sweep is O(N) per batch)
+        if build_candidates not in ("auto", "beam", "exact"):
+            raise ValueError(
+                f"unknown build_candidates: {build_candidates!r}")
+        self.build_candidates = build_candidates
+        self.exact_build_threshold = 600_000
+        # candidate-pool width for construction (None => ef_construction
+        # for beam, 2*ef_construction for exact).  Exact mode needs the
+        # wider pool: a tight top-efc sweep lacks the diverse mid-range
+        # candidates a beam walk's PATH provides, and the pruning
+        # heuristic needs them for long links (measured: pool=efc loses
+        # 1.5pt recall vs beam; pool=2*efc restores parity).
+        self.build_cand_cap: Optional[int] = None
         # bulk-insert slab grains, in units of max_insert_batch batches:
         # (big, small).  A slab = one host->device upload + one dispatch
         # running that many sequential masked batch-inserts on device.
@@ -168,6 +190,19 @@ class HnswIndex:
                 f"{self.config.dims} expected")
         return vectors
 
+    def _candidate_mode(self, count_at_start: int):
+        """Resolve (candidates, cand_cap) for a slab/batch starting at the
+        given node count (static per compiled program; "auto" switches
+        engines at exact_build_threshold)."""
+        mode = self.build_candidates
+        if mode == "auto":
+            mode = ("exact" if count_at_start < self.exact_build_threshold
+                    else "beam")
+        cap = self.build_cand_cap
+        if cap is None and mode == "exact":
+            cap = 2 * self.config.ef_construction
+        return mode, cap
+
     def _ensure_capacity(self, n_new: int) -> None:
         # one extra batch of slack: a masked tail batch stages a full
         # batch-width vector slice, which must stay inside the array
@@ -234,13 +269,16 @@ class HnswIndex:
                 dev = nxt
                 if si + 1 < len(schedule):
                     nxt = _upload(*schedule[si + 1])  # overlap with insert
+                slab_mode, slab_cap = self._candidate_mode(base + s)
                 self._graph = insert_slab_donating(
                     self._graph, dev, jnp.int32(rows), batch=b,
                     n_batches=nb, ef_construction=cfg.ef_construction,
                     m=cfg.m, max_m=cfg.max_m,
-                    metric_value=cfg.metric.value,
-                    expand_width=self.build_expand_width)
+                    metric_value=cfg.metric.value, cand_cap=slab_cap,
+                    expand_width=self.build_expand_width,
+                    candidates=slab_mode)
         else:
+            cand_mode, cand_cap = self._candidate_mode(base)
             for off, cnt in build_schedule(n, b):
                 # fixed batch shape + traced n_insert => one compile per
                 # capacity
@@ -252,7 +290,9 @@ class HnswIndex:
                     self._graph, jnp.asarray(chunk), jnp.int32(cnt),
                     ef_construction=cfg.ef_construction,
                     m=cfg.m, max_m=cfg.max_m, metric_value=cfg.metric.value,
-                    expand_width=self.build_expand_width)
+                    cand_cap=cand_cap,
+                    expand_width=self.build_expand_width,
+                    candidates=cand_mode)
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n
@@ -597,6 +637,7 @@ class HnswIndex:
                           max_insert_batch=self.max_insert_batch,
                           search_expand_width=self.search_expand_width,
                           build_expand_width=self.build_expand_width,
+                          build_candidates=self.build_candidates,
                           storage_dtype=self.storage_dtype,
                           quantized_traversal=self.quantized_traversal,
                           packed_traversal=self.packed_traversal)

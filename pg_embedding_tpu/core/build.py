@@ -259,11 +259,71 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
     return links, link_counts
 
 
+def _exact_candidates(vectors, points, base, *, cand_cap: int,
+                      metric_value: int, chunk: int = 16384):
+    """Construction candidates via a full MXU corpus sweep instead of the
+    beam walk — the TPU-native bulk-build move (opt-in; see
+    HnswIndex(build_candidates=...)).
+
+    The reference's insert searches the graph because a serial CPU cannot
+    afford an O(N) scan per insert (hnswalg.cpp:229).  On TPU the scan IS
+    the fast path below ~1M rows: one [B, chunk] distance tile per chunk
+    rides the MXU at full tilt, per-chunk approx top-k + a running merge
+    select cand_cap candidates, and an exact elementwise rerank restores
+    reference distance semantics (distfunc.c forms) for the pruning
+    heuristic.  Strictly better candidate sets than the beam walk (true
+    top-efc modulo approx_min_k's ~0.95 per-chunk recall), so graph
+    quality can only improve; link-level parity with the reference is
+    intentionally given up (use candidates="beam" for that).
+
+    Returns (cand_d [B, cand_cap], cand_i [B, cand_cap]) ascending,
+    -1-padded, considering only rows < base (tombstones stay candidates,
+    matching construction semantics — deletes filter results, not
+    waypoints, hnswalg.cpp:245)."""
+    b = points.shape[0]
+    cap = vectors.shape[0]
+    chunk = min(chunk, cap)
+    n_chunks = -(-cap // chunk)
+    keep = cand_cap + 2          # rerank pad (ops/bruteforce._RERANK_PAD)
+    pts32 = points.astype(jnp.float32)
+
+    def body(c, carry):
+        top_d, top_i = carry
+        start = jnp.minimum(c * chunk, cap - chunk)
+        rows = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
+        d = pairwise_dist(pts32, rows.astype(jnp.float32), metric_value)
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        # kill overlap from the clamped last chunk + rows past the graph
+        valid = (ids >= c * chunk) & (ids < base)
+        d = jnp.where(valid, d, _INF)
+        ids = jnp.where(valid, ids, -1)
+        if chunk > 4 * keep:
+            d, sel = jax.lax.approx_min_k(d, keep, recall_target=0.99)
+            ids = jnp.take_along_axis(ids, sel, axis=1)
+        all_d = jnp.concatenate([top_d, d], axis=1)
+        all_i = jnp.concatenate([top_i, ids], axis=1)
+        neg, sel = jax.lax.top_k(-all_d, keep)
+        return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+
+    init = (jnp.full((b, keep), _INF, jnp.float32),
+            jnp.full((b, keep), -1, jnp.int32))
+    run_d, run_i = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # exact rerank with the reference's elementwise forms
+    rrows = vectors[jnp.maximum(run_i, 0)].astype(jnp.float32)
+    rd = jax.vmap(lambda q, r: dist_one_to_many(q, r, metric_value))(
+        pts32, rrows)
+    rd = jnp.where(run_i >= 0, rd, _INF)
+    neg, sel = jax.lax.top_k(-rd, cand_cap)
+    return -neg, jnp.take_along_axis(run_i, sel, axis=1)
+
+
 def insert_batch_core(graph: GraphState, points: jax.Array,
                       n_insert: jax.Array, *, ef_construction: int, m: int,
                       max_m: int, metric_value: int,
                       cand_cap: int | None = None,
-                      expand_width: int = 1) -> GraphState:
+                      expand_width: int = 1,
+                      candidates: str = "beam") -> GraphState:
     """Insert a batch of points (the aminsert/ambuild hot path,
     embedding.c:606-701 + hnswalg.cpp:225-232). Un-jitted core, also used
     inside shard_map.
@@ -286,11 +346,20 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
         graph.vectors, points.astype(graph.vectors.dtype), (base, 0))
     staged = graph._replace(vectors=vectors)
 
-    # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
-    search = functools.partial(_search_one, ef=efc,
-                               metric_value=metric_value, cand_cap=cand_cap,
-                               expand_width=expand_width)
-    cand_d, cand_i, _, _ = jax.vmap(search, in_axes=(None, 0))(staged, points)
+    if candidates == "exact":
+        # TPU-native bulk-build candidates: full MXU sweep (see
+        # _exact_candidates; waives link-level reference parity)
+        cand_d, cand_i = _exact_candidates(
+            vectors, points, base, cand_cap=cand_cap,
+            metric_value=metric_value)
+    else:
+        # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
+        search = functools.partial(_search_one, ef=efc,
+                                   metric_value=metric_value,
+                                   cand_cap=cand_cap,
+                                   expand_width=expand_width)
+        cand_d, cand_i, _, _ = jax.vmap(search, in_axes=(None, 0))(staged,
+                                                                   points)
 
     # Intra-batch candidates: under strict serial insertion (the reference),
     # element i's search would also reach earlier inserts i' < i of this
@@ -304,9 +373,12 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
     earlier = (bi[None, :] < bi[:, None]) & (bi[None, :] < n_insert)
     intra_d = jnp.where(earlier, intra, _INF)
     intra_i = jnp.where(earlier, base + bi[None, :], -1)
-    merged_d = jnp.concatenate([cand_d, intra_d], axis=1)    # [B, efc+B]
+    merged_d = jnp.concatenate([cand_d, intra_d], axis=1)    # [B, W+B]
     merged_i = jnp.concatenate([cand_i, intra_i], axis=1)
-    order = jnp.argsort(merged_d, axis=1, stable=True)[:, :efc]
+    # keep the full candidate-pool width (cand_cap may exceed efc — the
+    # exact sweep benefits from a wider pool for the diversity heuristic)
+    order = jnp.argsort(merged_d, axis=1,
+                        stable=True)[:, :cand_d.shape[1]]
     cand_d = jnp.take_along_axis(merged_d, order, axis=1)
     cand_i = jnp.take_along_axis(merged_i, order, axis=1)
 
@@ -332,27 +404,30 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("ef_construction", "m", "max_m", "metric_value",
-                     "cand_cap", "expand_width"))
+                     "cand_cap", "expand_width", "candidates"))
 def insert_batch(graph: GraphState, points: jax.Array, *,
                  ef_construction: int, m: int, max_m: int, metric_value: int,
                  cand_cap: int | None = None,
-                 expand_width: int = 1) -> GraphState:
+                 expand_width: int = 1,
+                 candidates: str = "beam") -> GraphState:
     """Jitted full-batch insert (see insert_batch_core)."""
     return insert_batch_core(graph, points, jnp.int32(points.shape[0]),
                              ef_construction=ef_construction, m=m,
                              max_m=max_m, metric_value=metric_value,
-                             cand_cap=cand_cap, expand_width=expand_width)
+                             cand_cap=cand_cap, expand_width=expand_width,
+                             candidates=candidates)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ef_construction", "m", "max_m", "metric_value",
-                     "cand_cap", "expand_width"))
+                     "cand_cap", "expand_width", "candidates"))
 def insert_batch_masked(graph: GraphState, points: jax.Array,
                         n_insert: jax.Array, *, ef_construction: int, m: int,
                         max_m: int, metric_value: int,
                         cand_cap: int | None = None,
-                        expand_width: int = 1) -> GraphState:
+                        expand_width: int = 1,
+                        candidates: str = "beam") -> GraphState:
     """Jitted masked-tail insert: only the first ``n_insert`` (dynamic) rows
     of ``points`` are inserted.  Because n_insert is traced, every insert —
     full batches and ragged tails alike — shares ONE compiled program per
@@ -361,19 +436,21 @@ def insert_batch_masked(graph: GraphState, points: jax.Array,
     return insert_batch_core(graph, points, n_insert,
                              ef_construction=ef_construction, m=m,
                              max_m=max_m, metric_value=metric_value,
-                             cand_cap=cand_cap, expand_width=expand_width)
+                             cand_cap=cand_cap, expand_width=expand_width,
+                             candidates=candidates)
 
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
     static_argnames=("ef_construction", "m", "max_m", "metric_value",
-                     "cand_cap", "expand_width"))
+                     "cand_cap", "expand_width", "candidates"))
 def insert_batch_masked_donating(graph: GraphState, points: jax.Array,
                                  n_insert: jax.Array, *,
                                  ef_construction: int, m: int,
                                  max_m: int, metric_value: int,
                                  cand_cap: int | None = None,
-                                 expand_width: int = 1) -> GraphState:
+                                 expand_width: int = 1,
+                                 candidates: str = "beam") -> GraphState:
     """insert_batch_masked with the graph buffers DONATED: XLA aliases
     input to output, so the capacity-sized arrays are updated in place
     instead of copied per batch.  Without this, every 128-row batch copies
@@ -384,18 +461,21 @@ def insert_batch_masked_donating(graph: GraphState, points: jax.Array,
     return insert_batch_core(graph, points, n_insert,
                              ef_construction=ef_construction, m=m,
                              max_m=max_m, metric_value=metric_value,
-                             cand_cap=cand_cap, expand_width=expand_width)
+                             cand_cap=cand_cap, expand_width=expand_width,
+                             candidates=candidates)
 
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
     static_argnames=("batch", "n_batches", "ef_construction", "m", "max_m",
-                     "metric_value", "cand_cap", "expand_width"))
+                     "metric_value", "cand_cap", "expand_width",
+                     "candidates"))
 def insert_slab_donating(graph: GraphState, slab: jax.Array,
                          n_valid: jax.Array, *, batch: int, n_batches: int,
                          ef_construction: int, m: int, max_m: int,
                          metric_value: int, cand_cap: int | None = None,
-                         expand_width: int = 1) -> GraphState:
+                         expand_width: int = 1,
+                         candidates: str = "beam") -> GraphState:
     """Insert a whole multi-batch slab in ONE device dispatch.
 
     Per-batch host dispatch through the axon tunnel costs ~150ms of latency
@@ -421,7 +501,8 @@ def insert_slab_donating(graph: GraphState, slab: jax.Array,
                                  ef_construction=ef_construction, m=m,
                                  max_m=max_m, metric_value=metric_value,
                                  cand_cap=cand_cap,
-                                 expand_width=expand_width)
+                                 expand_width=expand_width,
+                                 candidates=candidates)
 
     return jax.lax.fori_loop(0, n_batches, body, graph)
 

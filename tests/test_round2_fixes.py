@@ -234,3 +234,30 @@ def test_slab_insert_matches_per_batch(rng):
     np.testing.assert_allclose(np.asarray(a.graph.vectors)[:n],
                                np.asarray(b.graph.vectors)[:n])
     a.check_integrity()
+
+
+def test_exact_candidate_build_quality(rng):
+    """build_candidates="exact" (MXU sweep construction, the TPU-native
+    bulk-build default below exact_build_threshold) must produce a graph at
+    least as good as the beam-parity path: integrity clean, graph-mode
+    recall not worse (exact candidate sets are supersets in quality of what
+    the beam walk finds)."""
+    centers = rng.normal(scale=4.0, size=(40, 32)).astype(np.float32)
+    pts = (centers[rng.integers(0, 40, 5000)] +
+           rng.normal(size=(5000, 32))).astype(np.float32)
+    qs = (centers[rng.integers(0, 40, 64)] +
+          rng.normal(size=(64, 32))).astype(np.float32)
+    cfg = HnswConfig(dims=32, m=8, ef_construction=32, ef_search=32)
+
+    def build(mode):
+        idx = HnswIndex(cfg, build_candidates=mode)
+        idx.build(pts, np.arange(len(pts)))
+        idx.check_integrity()
+        _, ol, ov = idx.exact_search(qs, 10)
+        d, l, v = idx.search(qs, 10, mode="graph")
+        return np.mean([len(set(l[r][v[r]]) & set(ol[r][ov[r]])) / 10
+                        for r in range(len(qs))])
+
+    rec_beam = build("beam")
+    rec_exact = build("exact")
+    assert rec_exact >= rec_beam - 0.01, (rec_beam, rec_exact)
