@@ -220,23 +220,27 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
     rank = jnp.sum(same_earlier.astype(jnp.int32), axis=1)       # [bm]
     n_rounds = jnp.max(jnp.where(valid, rank, -1)) + 1
 
-    def round_body(state):
-        r, links, link_counts = state
-        sel = valid & (rank == r)
-        safe_t = jnp.where(sel, tgt, 0)
-        rows = links[safe_t]                             # [bm, max_m]
-        cnts = link_counts[safe_t]                       # [bm]
-        overflow = cnts >= max_m
+    # Re-prune lanes are compacted into a K-wide buffer: only ~1% of
+    # back-link targets are at max_m in practice (measured at 100k/m=16),
+    # and the re-prune's per-lane [maxM+1 x maxM+1] pairwise matmuls +
+    # heuristic scan are ~10x the cost of everything else in the round —
+    # computing them bm-wide made connect 90% of the whole insert.  K has
+    # ~6x headroom over the measured rate; exactness is preserved by an
+    # inner while_loop that drains any overflow-lane excess in further
+    # K-wide passes (all lanes in a round target distinct nodes, so the
+    # split into passes cannot reorder anything).
+    k_prune = min(256, bm)
 
-        # append path (hnswalg.cpp:193-195): place cur at slot cnts
-        one_hot = slot_mm[None, :] == cnts[:, None]
-        app_rows = jnp.where(one_hot, cur[:, None], rows)
-        app_cnts = cnts + 1
-
-        # overflow re-prune path (hnswalg.cpp:196-220), masked-compute
-        cand_ids = jnp.concatenate([rows, cur[:, None]], axis=1)
-        base_vecs = vectors[safe_t]                      # [bm, D]
-        cvecs = vectors[jnp.maximum(cand_ids, 0)]        # [bm, max_m+1, D]
+    def reprune_pass(state):
+        links, link_counts, todo = state
+        prio = jnp.argsort(~todo, stable=True)           # todo lanes first
+        idxs = prio[:k_prune]
+        active = todo[idxs]
+        sub_t = jnp.where(active, tgt[idxs], 0)
+        rows = links[sub_t]                              # [K, max_m]
+        cand_ids = jnp.concatenate([rows, cur[idxs][:, None]], axis=1)
+        base_vecs = vectors[sub_t]                       # [K, D]
+        cvecs = vectors[jnp.maximum(cand_ids, 0)]        # [K, max_m+1, D]
         d = jax.vmap(lambda bv, cv: dist_one_to_many(bv, cv, metric_value))(
             base_vecs, cvecs)
         d = jnp.where(cand_ids >= 0, d, _INF)
@@ -245,12 +249,32 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
         rep_rows, rep_cnts = jax.vmap(
             lambda dd, ci, pd: _prune_heuristic(dd, ci, pd, max_m))(
             d, cand_ids, pair)
+        t_idx = jnp.where(active, sub_t, cap)
+        links = links.at[t_idx].set(rep_rows, mode="drop")
+        link_counts = link_counts.at[t_idx].set(rep_cnts, mode="drop")
+        todo = todo.at[idxs].set(todo[idxs] & ~active)
+        return links, link_counts, todo
 
-        new_rows = jnp.where(overflow[:, None], rep_rows, app_rows)
-        new_cnts = jnp.where(overflow, rep_cnts, app_cnts)
-        t_idx = jnp.where(sel, tgt, cap)
-        links = links.at[t_idx].set(new_rows, mode="drop")
-        link_counts = link_counts.at[t_idx].set(new_cnts, mode="drop")
+    def round_body(state):
+        r, links, link_counts = state
+        sel = valid & (rank == r)
+        safe_t = jnp.where(sel, tgt, 0)
+        cnts = link_counts[safe_t]                       # [bm]
+        overflow = sel & (cnts >= max_m)
+
+        # append path (hnswalg.cpp:193-195), full width — cheap scatter
+        app = sel & ~overflow
+        rows = links[safe_t]
+        one_hot = slot_mm[None, :] == cnts[:, None]
+        app_rows = jnp.where(one_hot, cur[:, None], rows)
+        t_idx = jnp.where(app, safe_t, cap)
+        links = links.at[t_idx].set(app_rows, mode="drop")
+        link_counts = link_counts.at[t_idx].set(cnts + 1, mode="drop")
+
+        # overflow re-prune path (hnswalg.cpp:196-220), compacted
+        links, link_counts, _ = jax.lax.while_loop(
+            lambda s: jnp.any(s[2]), reprune_pass,
+            (links, link_counts, overflow))
         return r + 1, links, link_counts
 
     _, links, link_counts = jax.lax.while_loop(
@@ -260,7 +284,7 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
 
 
 def _exact_candidates(vectors, points, base, *, cand_cap: int,
-                      metric_value: int, chunk: int = 16384):
+                      metric_value: int, chunk: int = 32768):
     """Construction candidates via a full MXU corpus sweep instead of the
     beam walk — the TPU-native bulk-build move (opt-in; see
     HnswIndex(build_candidates=...)).
@@ -283,7 +307,10 @@ def _exact_candidates(vectors, points, base, *, cand_cap: int,
     b = points.shape[0]
     cap = vectors.shape[0]
     chunk = min(chunk, cap)
-    n_chunks = -(-cap // chunk)
+    # traced trip count: scan only chunks that contain live rows (< base).
+    # During a growing build the graph is far smaller than capacity, and
+    # the per-chunk masking already handles the ragged edge.
+    n_chunks = jnp.clip((base + chunk - 1) // chunk, 0, -(-cap // chunk))
     keep = cand_cap + 2          # rerank pad (ops/bruteforce._RERANK_PAD)
     pts32 = points.astype(jnp.float32)
 
