@@ -170,7 +170,8 @@ def _connect_one(vectors, links, link_counts, cur, kept_i, kept_cnt, enable,
 
 
 def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
-                   n_insert, *, m: int, max_m: int, metric_value: int):
+                   n_insert, *, m: int, max_m: int, metric_value: int,
+                   reprune_buffer: int | None = None):
     """Wire a whole batch — bit-exact replacement for running _connect_one
     sequentially over the batch, restructured for TPU parallelism.
 
@@ -229,7 +230,7 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
     # inner while_loop that drains any overflow-lane excess in further
     # K-wide passes (all lanes in a round target distinct nodes, so the
     # split into passes cannot reorder anything).
-    k_prune = min(256, bm)
+    k_prune = min(256, bm) if reprune_buffer is None else reprune_buffer
 
     def reprune_pass(state):
         links, link_counts, todo = state

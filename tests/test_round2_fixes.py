@@ -261,3 +261,53 @@ def test_exact_candidate_build_quality(rng):
     rec_beam = build("beam")
     rec_exact = build("exact")
     assert rec_exact >= rec_beam - 0.01, (rec_beam, rec_exact)
+
+
+def test_reprune_drain_exceeds_buffer(rng):
+    """The connect re-prune compaction (core/build._connect_batch) drains
+    overflow lanes in K-wide passes.  When more lanes overflow in one
+    round than the buffer holds, the inner while_loop must run extra
+    passes and produce the IDENTICAL result (lanes in a round target
+    distinct nodes, so pass-splitting cannot reorder anything).  Forced
+    here with a tiny buffer (4) against the default on a dense graph
+    where every back-link target is saturated."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pg_embedding_tpu.core.build import _connect_batch
+
+    dims, m, max_m = 8, 4, 8
+    n, cap = 600, 640
+    from pg_embedding_tpu.core.graph import GraphState
+
+    # synthetic fully-saturated graph: every node has max_m links, so every
+    # back-link target takes the re-prune path
+    vecs = np.zeros((cap, dims), np.float32)
+    vecs[:n] = rng.normal(size=(n, dims)).astype(np.float32)
+    links = np.full((cap, max_m), -1, np.int32)
+    links[:n] = (np.arange(n)[:, None] + np.arange(1, max_m + 1)) % n
+    counts = np.zeros(cap, np.int32)
+    counts[:n] = max_m
+    g = GraphState(vectors=jnp.asarray(vecs), links=jnp.asarray(links),
+                   link_counts=jnp.asarray(counts),
+                   deleted=jnp.zeros(cap, bool), n_nodes=jnp.int32(n))
+
+    b = 16
+    kept_i = np.asarray(
+        rng.choice(600, size=(b, m), replace=False).astype(np.int32))
+    kept_cnt = np.full((b,), m, np.int32)
+
+    out = {}
+    for name, buf in (("default", None), ("tiny", 4)):
+        fn = jax.jit(functools.partial(
+            _connect_batch, m=m, max_m=max_m, metric_value=0,
+            reprune_buffer=buf))
+        links, counts = fn(g.vectors, g.links, g.link_counts, g.n_nodes,
+                           jnp.asarray(kept_i), jnp.asarray(kept_cnt),
+                           jnp.int32(b))
+        out[name] = (np.asarray(links), np.asarray(counts))
+
+    np.testing.assert_array_equal(out["default"][0], out["tiny"][0])
+    np.testing.assert_array_equal(out["default"][1], out["tiny"][1])
