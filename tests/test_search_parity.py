@@ -183,3 +183,47 @@ def test_expand_width_recall(t):
     assert recall(it) >= recall(i1) - 0.02, (recall(it), recall(i1))
     # T-wide expansion must cut the iteration count
     assert np.asarray(st.hops).mean() < np.asarray(s1.hops).mean()
+
+
+def test_search_parity_10k_cpp_oracle():
+    """10k-node parity against the native C++ engine (VERDICT r1 item 3's
+    scale criterion — the Python refimpl is too slow past ~1k nodes): the
+    TPU traversal over the C++-built graph must return the identical
+    result set per query at equal ef."""
+    from pg_embedding_tpu.utils import cpu_ref
+
+    if not cpu_ref.available():  # pragma: no cover
+        pytest.skip("native engine unavailable")
+
+    rng = np.random.default_rng(19)
+    n, d, ef = 10_000, 32, 64
+    centers = rng.normal(scale=4.0, size=(100, d))
+    pts = (centers[rng.integers(0, 100, n)] +
+           rng.normal(size=(n, d))).astype(np.float32)
+    qs = (centers[rng.integers(0, 100, 32)] +
+          rng.normal(size=(32, d))).astype(np.float32)
+
+    ci = cpu_ref.CpuRefIndex(d, m=8, ef_construction=48)
+    ci.build(pts, np.arange(n))
+
+    cfg = HnswConfig(dims=d, m=8, ef_construction=48, ef_search=ef)
+    g = empty_graph(max(n, 32), cfg.dims, cfg.max_m)
+    vec = np.zeros((g.capacity, d), np.float32)
+    vec[:n] = pts
+    links = np.full((g.capacity, cfg.max_m), -1, np.int32)
+    cnts = np.zeros(g.capacity, np.int32)
+    for i in range(n):
+        ls = ci.links(i)
+        links[i, : len(ls)] = ls
+        cnts[i] = len(ls)
+    g = g._replace(vectors=jnp.asarray(vec), links=jnp.asarray(links),
+                   link_counts=jnp.asarray(cnts), n_nodes=jnp.int32(n))
+
+    td, ti, _ = search_graph(g, jnp.asarray(qs), ef=ef, metric_value=0)
+    td, ti = np.asarray(td), np.asarray(ti)
+    for q in range(qs.shape[0]):
+        ref_d, ref_l = ci.search(qs[q], ef)
+        got = [int(x) for x in ti[q] if x >= 0]
+        assert set(got) == set(int(x) for x in ref_l), f"query {q}"
+        np.testing.assert_allclose(np.sort(td[q][: len(ref_d)]),
+                                   np.sort(ref_d), rtol=1e-4, atol=1e-4)
