@@ -93,7 +93,10 @@ def main():
         np.asarray(idx.graph.n_nodes)
         dt = time.time() - t0
         log(f"TPU build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
-        idx.save(CACHE_IDX)
+        if os.environ.get("BENCH_10M_SAVE") == "1":
+            # ~6.5GB through the tunnel + single-thread zlib: ~25 min.
+            # Worth it only when a cached index will be reused.
+            idx.save(CACHE_IDX)
 
     qdev = jnp.asarray(qs)
     t0 = time.time()

@@ -693,17 +693,33 @@ class HnswIndex:
 
         self._wal = WalWriter(path, self.config)
 
-    def save(self, path: str) -> None:
+    @staticmethod
+    def _to_host(arr, n, dtype=None, rows: int = 1 << 20):
+        """Device->host in bounded chunks: one giant np.asarray of a
+        multi-GB array goes through the transfer path as a single
+        transaction (minutes-long, unabortable on the tunnel); chunking
+        keeps each read bounded and pipelines with the next slice."""
+        shape = (n,) + tuple(arr.shape[1:])
+        out = np.empty(shape, dtype if dtype is not None else arr.dtype)
+        for off in range(0, n, rows):
+            hi = min(off + rows, n)
+            out[off:hi] = np.asarray(arr[off:hi], out.dtype)
+        return out
+
+    def save(self, path: str, compressed: Optional[bool] = None) -> None:
         """Serialize the full device state. Like the reference, everything
         except the arrays is re-derived from config on load
         (embedding.c:58-64: 'metadata is reconstructed from reloptions').
         If a WAL is enabled, the snapshot records the current WAL offset
-        (the LSN analog) so load(wal=...) replays only the tail."""
+        (the LSN analog) so load(wal=...) replays only the tail.
+
+        ``compressed``: None (default) compresses only indexes under ~1GB —
+        single-thread zlib on a multi-GB vector array costs minutes for a
+        poor ratio on float data; np.load reads both forms."""
         path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         n = self.n_nodes
-        np.savez_compressed(
-            path,
+        payload = dict(
             format_version=np.int64(_SAVE_FORMAT_VERSION),
             wal_offset=np.int64(self._wal.tell() if self._wal is not None
                                 else -1),
@@ -713,12 +729,15 @@ class HnswIndex:
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
             # bf16 upcasts losslessly to f32 for serialization (numpy
             # cannot serialize ml_dtypes); restored to storage_dtype on load
-            vectors=np.asarray(self._graph.vectors[:n], np.float32),
-            links=np.asarray(self._graph.links)[:n],
-            link_counts=np.asarray(self._graph.link_counts)[:n],
-            deleted=np.asarray(self._graph.deleted)[:n],
+            vectors=self._to_host(self._graph.vectors, n, np.float32),
+            links=self._to_host(self._graph.links, n),
+            link_counts=self._to_host(self._graph.link_counts, n),
+            deleted=self._to_host(self._graph.deleted, n),
             labels=self._labels[:n],
         )
+        if compressed is None:
+            compressed = payload["vectors"].nbytes < (1 << 30)
+        (np.savez_compressed if compressed else np.savez)(path, **payload)
 
     @classmethod
     def load(cls, path: str, config: Optional[HnswConfig] = None,
