@@ -52,15 +52,30 @@ class GraphState(NamedTuple):
         return self.links.shape[1]
 
 
+# LCM of the exact-sweep kernel's corpus tile sizes (1536/1024/640/384/128,
+# ops/pallas_bruteforce.py tile auto-selection) and the 32-row visited-bitmap
+# word. Large graphs align to it so the sweep NEVER has to jnp.pad the
+# corpus to a tile multiple — that pad is a full copy of a multi-GB array
+# (the 10M x 128d OOM: 6.5GB graph + 5.1GB padded copy).  Small graphs keep
+# the 32-row grain; <1.6% waste above the threshold.
+_EXACT_TILE_ALIGN = 15360
+_ALIGN_THRESHOLD = 1_000_000
+
+
+def _round_capacity(capacity: int) -> int:
+    grain = _EXACT_TILE_ALIGN if capacity >= _ALIGN_THRESHOLD else 32
+    return max(-(-int(capacity) // grain) * grain, 32)
+
+
 def empty_graph(capacity: int, dims: int, max_m: int,
                 dtype=jnp.float32) -> GraphState:
     """Allocate an empty graph with the given capacity.
 
     Capacity is padded to a multiple of 32 so the search visited-bitmap
-    (u32 words, mirroring hnswalg.cpp:45-50) covers it exactly.
+    (u32 words, mirroring hnswalg.cpp:45-50) covers it exactly; large
+    graphs align to the exact-sweep tile LCM (see _round_capacity).
     """
-    cap = ((int(capacity) + 31) // 32) * 32
-    cap = max(cap, 32)
+    cap = _round_capacity(capacity)
     return GraphState(
         vectors=jnp.zeros((cap, dims), dtype),
         links=jnp.full((cap, max_m), -1, jnp.int32),
@@ -73,7 +88,7 @@ def empty_graph(capacity: int, dims: int, max_m: int,
 def grow_graph(graph: GraphState, new_capacity: int) -> GraphState:
     """Double-style capacity growth (the relation-extend analog,
     embedding.c:633-683). Host-side reallocation; device copy."""
-    cap = ((int(new_capacity) + 31) // 32) * 32
+    cap = _round_capacity(new_capacity)
     old = graph.capacity
     if cap <= old:
         return graph

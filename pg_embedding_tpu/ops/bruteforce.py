@@ -93,7 +93,7 @@ def _exact_search_impl(queries, points, n_valid, deleted, *, k: int,
 
 
 def exact_search(queries, points, k: int, metric=Metric.L2,
-                 n_valid=None, deleted=None, chunk: int = 16384):
+                 n_valid=None, deleted=None, chunk: int = 15360):
     """Exact top-k nearest neighbors.
 
     Args:
@@ -103,7 +103,9 @@ def exact_search(queries, points, k: int, metric=Metric.L2,
       metric:  Metric / operator string.
       n_valid: number of valid rows in ``points`` (default: all).
       deleted: optional bool[N] tombstone mask; True rows are excluded.
-      chunk:   corpus tile size per sweep step.
+      chunk:   corpus tile size per sweep step (default divides the
+               aligned capacity grain, core/graph._EXACT_TILE_ALIGN, so
+               large corpora are never pad-copied).
 
     Returns (dists [B, k] ascending, idxs [B, k]; idx == -1 => no such
     neighbor).
