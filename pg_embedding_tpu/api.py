@@ -107,10 +107,13 @@ class HnswIndex:
         # auto-routing crossover for search(mode="auto"): corpora up to this
         # size are served by the exact MXU sweep (recall 1.0) when the query
         # batch is large enough; see _use_exact.
-        # Measured crossover is far above 1M: at 1M x 128d the Pallas exact
-        # sweep does ~20.7k QPS (recall 1.0) vs ~1.9k for the graph walk;
-        # exact scales ~1/N, the graph ~log N, crossing near ~8M rows
-        self.exact_threshold = 4_000_000
+        # Measured directly (128-d L2, batch 1024, v5e): exact/graph QPS =
+        # 14.2k/5.9k at 2M, 7.5k/5.1k at 4M, 2.3k/4.6k at 10M — the c/N fit
+        # crosses the graph plateau at ~5.7M (benchmarks/bench_router_band
+        # + bench_10m). 5.5M keeps auto on the winning engine with margin;
+        # with packed_traversal the graph reaches ~9k QPS at 1M, so such
+        # deployments should lower this to ~2.5M.
+        self.exact_threshold = 5_500_000
         # int8 traversal with exact rerank: quarters the graph walk's HBM
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.

@@ -72,7 +72,7 @@ class ShardedHnswIndex:
         self.config = config
         self.search_expand_width = int(search_expand_width)
         # per-shard auto-routing crossover (see _use_exact)
-        self.exact_threshold = 4_000_000
+        self.exact_threshold = 5_500_000   # per shard; see api.py note
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
