@@ -150,6 +150,31 @@ def bench_tpu(pts, qs):
     log(f"TPU packed graph search: {qps_p:.0f} QPS streaming (T=8), "
         f"recall@10={rec_p:.4f}")
 
+    # --- packed-f32 graph mode (STRICT-PARITY serving config: f32
+    # records, bit-identical results to the plain walk, no rerank; the
+    # r3 answer to "plain walk < 1x CPU" — same transaction collapse,
+    # full precision) ---------------------------------------------------
+    idx.packed_dtype = "float32"
+    idx._pcodes = idx._pscales = None
+    pf, _none = idx._ensure_packed()
+    np.asarray(pf[0, 0, 0])
+    dd, ii, _ = search_graph_packed(idx.graph, qdev, pf, None,
+                                    ef=EF_SEARCH, metric_value=0,
+                                    expand_width=8)
+    rec_pf = recall_at_k(np.asarray(idx._labels[np.maximum(ii, 0)]),
+                         np.asarray(ii >= 0), ol, K)
+    t0 = time.time()
+    for _ in range(QPS_REPS):
+        dd, ii, _ = search_graph_packed(idx.graph, qdev, pf, None,
+                                        ef=EF_SEARCH, metric_value=0,
+                                        expand_width=8)
+    np.asarray(dd)
+    qps_pf = QPS_REPS * N_QUERIES / (time.time() - t0)
+    log(f"TPU packed-f32 graph search (strict parity): {qps_pf:.0f} QPS "
+        f"streaming (T=8), recall@10={rec_pf:.4f}")
+    idx.packed_dtype = "int8"
+    idx._pcodes = idx._pscales = None
+
     # --- auto mode: the cost router picks the exact MXU sweep here ------
     d, l, v = idx.search(qs, K, mode="auto")
     rec_a = recall_at_k(l, v, ol, K)
@@ -170,6 +195,7 @@ def bench_tpu(pts, qs):
             "qps": qps_a, "recall": rec_a,
             "graph_qps": qps_g, "graph_recall": rec_g,
             "packed_qps": qps_p, "packed_recall": rec_p,
+            "packed_f32_qps": qps_pf, "packed_f32_recall": rec_pf,
             "latency_ms": lat_a * 1000, "oracle": ol}
 
 
@@ -226,7 +252,10 @@ def main():
             f"graph QPS ratio: {tpu['graph_qps'] / cpu['qps']:.2f}x "
             f"(recall {tpu['graph_recall']:.3f}); packed graph ratio: "
             f"{tpu['packed_qps'] / cpu['qps']:.2f}x "
-            f"(recall {tpu['packed_recall']:.3f})")
+            f"(recall {tpu['packed_recall']:.3f}); packed-f32 "
+            f"(strict parity) ratio: "
+            f"{tpu['packed_f32_qps'] / cpu['qps']:.2f}x "
+            f"(recall {tpu['packed_f32_recall']:.3f})")
     bfac = tpu["build_vps"] / cpu["build_vps"] if cpu else float("nan")
     print(json.dumps({
         "metric": ("SIFT-like 100k 128-d L2 QPS/chip (streaming, k=10, "

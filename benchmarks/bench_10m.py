@@ -85,6 +85,10 @@ def main():
         warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
         big, _ = warm.slab_batches
         warm.add(pts[: (big + 1) * 256])
+        # warm the exact8 slab programs too (auto switches engines at
+        # 600k mid-build; both grains must be compiled before timing)
+        warm.exact_build_threshold = 0
+        warm.add(pts[(big + 1) * 256: (2 * big + 2) * 256])
         np.asarray(warm.graph.n_nodes)
         del warm
         idx = HnswIndex(cfg, max_insert_batch=256)
@@ -111,19 +115,19 @@ def main():
     log(f"exact sweep: {qps_e:.0f} QPS streaming (recall 1.0)")
 
     out = {"n": N, "dims": DIMS, "exact_qps": round(qps_e, 1)}
-    for t in (4, 8):
-        d, i, _ = search_graph(idx.graph, qdev, ef=EFS, metric_value=0,
+    for t, ef in ((4, EFS), (8, EFS), (8, 2 * EFS)):
+        d, i, _ = search_graph(idx.graph, qdev, ef=ef, metric_value=0,
                                expand_width=t)
         r = recall(np.asarray(i), oracle)
         t0 = time.time()
         for _ in range(REPS):
-            d, i, _ = search_graph(idx.graph, qdev, ef=EFS, metric_value=0,
+            d, i, _ = search_graph(idx.graph, qdev, ef=ef, metric_value=0,
                                    expand_width=t)
         np.asarray(d)
         qps = REPS * NQ / (time.time() - t0)
-        log(f"graph T={t}: {qps:.0f} QPS, recall@10 {r:.4f}")
-        out[f"graph_qps_t{t}"] = round(qps, 1)
-        out[f"graph_recall_t{t}"] = round(r, 4)
+        log(f"graph T={t} ef={ef}: {qps:.0f} QPS, recall@10 {r:.4f}")
+        out[f"graph_qps_t{t}_ef{ef}"] = round(qps, 1)
+        out[f"graph_recall_t{t}_ef{ef}"] = round(r, 4)
 
     # int8 quantized traversal (the 10M memory knob; exact rerank)
     qv, qsc = idx._ensure_quantized()

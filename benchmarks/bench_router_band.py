@@ -95,6 +95,32 @@ def main():
         row = {"n": n, "exact_qps": round(qps_e, 1),
                "graph_qps": round(qps_g, 1), "graph_recall": round(rec, 4),
                "build_vps": round(build_vps, 1)}
+
+        # packed traversal (int8 records): the serving mode the packed
+        # router threshold (api.exact_threshold_packed) governs.  Records
+        # cost maxM*D bytes/node — measured only where they fit the chip
+        # alongside the graph (<= ~2.5M at 128d/m=16 on 16GB)
+        if n * cfg.max_m * DIMS <= 9 * (1 << 30):
+            from pg_embedding_tpu.core.search import search_graph_packed
+            pc, ps = idx._ensure_packed()
+            np.asarray(ps[0, 0])
+            d, i, _ = search_graph_packed(idx.graph, qdev, pc, ps, ef=EFS,
+                                          metric_value=0, expand_width=8)
+            prec_ = float(np.mean([
+                len(set(np.asarray(i)[r][:K].tolist()) &
+                    set(ol[r][ov[r]][:K].tolist())) / K
+                for r in range(NQ)]))
+            t0 = time.time()
+            for _ in range(REPS):
+                d, i, _ = search_graph_packed(idx.graph, qdev, pc, ps,
+                                              ef=EFS, metric_value=0,
+                                              expand_width=8)
+            np.asarray(d)
+            qps_p = REPS * NQ / (time.time() - t0)
+            row["packed_qps"] = round(qps_p, 1)
+            row["packed_recall"] = round(prec_, 4)
+            log(f"[{n}] packed {qps_p:.0f} QPS (recall {prec_:.4f})")
+
         results.append(row)
         log(f"[{n}] exact {qps_e:.0f} QPS | graph {qps_g:.0f} QPS "
             f"(recall {rec:.4f})")
@@ -107,7 +133,13 @@ def main():
         c = np.mean([r["exact_qps"] * r["n"] for r in results])
         plateau = results[-1]["graph_qps"]
         crossover = int(c / plateau) if plateau > 0 else None
-        print(json.dumps({"crossover_estimate": crossover}), flush=True)
+        out = {"crossover_estimate": crossover}
+        packed = [r for r in results if "packed_qps" in r]
+        if packed:
+            # packed plateau from the largest packed measurement
+            out["crossover_estimate_packed"] = int(
+                c / packed[-1]["packed_qps"])
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ from .config import HnswConfig, HnswConfigError, Metric, resolve_metric
 from .ops.distance import (cosine_distance, l2_distance, manhattan_distance)
 from .ops.bruteforce import exact_search
 from .ops.pallas_bruteforce import pallas_exact_search
-from .api import HnswIndex
+from .api import HnswIndex, TuneResult, TuneTargetMissed
 from .parallel.sharded import ShardedHnswIndex
 from .table import VectorTable
 
@@ -38,6 +38,8 @@ __all__ = [
     "exact_search",
     "pallas_exact_search",
     "HnswIndex",
+    "TuneResult",
+    "TuneTargetMissed",
     "ShardedHnswIndex",
     "VectorTable",
     "__version__",

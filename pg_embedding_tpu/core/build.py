@@ -285,7 +285,8 @@ def _connect_batch(vectors, links, link_counts, base, kept_i, kept_cnt,
 
 
 def _exact_candidates(vectors, points, base, *, cand_cap: int,
-                      metric_value: int, chunk: int = 32768):
+                      metric_value: int, chunk: int = 32768,
+                      qvec=None, qscale=None):
     """Construction candidates via a full MXU corpus sweep instead of the
     beam walk — the TPU-native bulk-build move (opt-in; see
     HnswIndex(build_candidates=...)).
@@ -301,6 +302,17 @@ def _exact_candidates(vectors, points, base, *, cand_cap: int,
     quality can only improve; link-level parity with the reference is
     intentionally given up (use candidates="beam" for that).
 
+    COARSE MODE (``qvec``/``qscale`` given — the "exact8" candidate
+    engine): the sweep reads the int8 shadow rows instead of the f32
+    corpus — 4x fewer HBM bytes — and scores them with one bf16 MXU pass
+    (dequantize in-register; vs the f32 path's 3-pass bf16x3 split), which
+    is what keeps full-corpus candidate sweeps affordable ABOVE the ~600k
+    f32-sweep crossover (the r2 10M quality gap: beam-built graphs past
+    600k served recall 0.86-0.92).  Coarse scores carry ~0.5% int8 + bf16
+    error, so the kept pool is widened 2x before the same exact f32
+    rerank selects the final cand_cap — candidate quality is within the
+    widened pool of the true sweep.
+
     Returns (cand_d [B, cand_cap], cand_i [B, cand_cap]) ascending,
     -1-padded, considering only rows < base (tombstones stay candidates,
     matching construction semantics — deletes filter results, not
@@ -308,18 +320,30 @@ def _exact_candidates(vectors, points, base, *, cand_cap: int,
     b = points.shape[0]
     cap = vectors.shape[0]
     chunk = min(chunk, cap)
+    coarse = qvec is not None
     # traced trip count: scan only chunks that contain live rows (< base).
     # During a growing build the graph is far smaller than capacity, and
     # the per-chunk masking already handles the ragged edge.
     n_chunks = jnp.clip((base + chunk - 1) // chunk, 0, -(-cap // chunk))
-    keep = cand_cap + 2          # rerank pad (ops/bruteforce._RERANK_PAD)
+    # rerank pad (ops/bruteforce._RERANK_PAD); coarse scores widen 2x
+    keep = 2 * cand_cap if coarse else cand_cap + 2
     pts32 = points.astype(jnp.float32)
 
     def body(c, carry):
         top_d, top_i = carry
         start = jnp.minimum(c * chunk, cap - chunk)
-        rows = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
-        d = pairwise_dist(pts32, rows.astype(jnp.float32), metric_value)
+        if coarse:
+            qrows = jax.lax.dynamic_slice_in_dim(qvec, start, chunk, axis=0)
+            qsc = jax.lax.dynamic_slice_in_dim(qscale, start, chunk, axis=0)
+            # dequantize in-register to bf16: pairwise_dist routes bf16
+            # points through its single-pass MXU branch (f32 accumulation)
+            rows_b = (qrows.astype(jnp.bfloat16) *
+                      qsc.astype(jnp.bfloat16)[:, None])
+            d = pairwise_dist(pts32, rows_b, metric_value)
+        else:
+            rows = jax.lax.dynamic_slice_in_dim(vectors, start, chunk,
+                                                axis=0)
+            d = pairwise_dist(pts32, rows.astype(jnp.float32), metric_value)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         # kill overlap from the clamped last chunk + rows past the graph
         valid = (ids >= c * chunk) & (ids < base)
@@ -351,7 +375,8 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
                       max_m: int, metric_value: int,
                       cand_cap: int | None = None,
                       expand_width: int = 1,
-                      candidates: str = "beam") -> GraphState:
+                      candidates: str = "beam",
+                      qvec=None, qscale=None) -> GraphState:
     """Insert a batch of points (the aminsert/ambuild hot path,
     embedding.c:606-701 + hnswalg.cpp:225-232). Un-jitted core, also used
     inside shard_map.
@@ -380,6 +405,16 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
         cand_d, cand_i = _exact_candidates(
             vectors, points, base, cand_cap=cand_cap,
             metric_value=metric_value)
+    elif candidates == "exact8":
+        # int8-coarse sweep + exact f32 rerank (the >600k engine; the
+        # caller threads the incrementally-maintained shadow arrays).
+        # 4x-wider chunks than the f32 sweep: at multi-million row counts
+        # the per-chunk top-k/merge machinery dominates the (cheap) int8
+        # matmul, so fewer+larger chunks is the lever
+        cand_d, cand_i = _exact_candidates(
+            vectors, points, base, cand_cap=cand_cap,
+            metric_value=metric_value, chunk=131072,
+            qvec=qvec, qscale=qscale)
     else:
         # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
         search = functools.partial(_search_one, ef=efc,
@@ -533,6 +568,52 @@ def insert_slab_donating(graph: GraphState, slab: jax.Array,
                                  candidates=candidates)
 
     return jax.lax.fori_loop(0, n_batches, body, graph)
+
+
+def quantize_rows(points: jax.Array):
+    """Per-row symmetric int8 quantization of a batch (the api._quantize
+    formula, applied to the rows being staged): scale = max|v|/127,
+    q = clip(round(v/scale)).  Appended rows never change, so incremental
+    staging reproduces exactly what a full re-quantization would."""
+    v = points.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2),
+    static_argnames=("batch", "n_batches", "ef_construction", "m", "max_m",
+                     "metric_value", "cand_cap", "expand_width"))
+def insert_slab_q_donating(graph: GraphState, qvec: jax.Array,
+                           qscale: jax.Array, slab: jax.Array,
+                           n_valid: jax.Array, *, batch: int, n_batches: int,
+                           ef_construction: int, m: int, max_m: int,
+                           metric_value: int, cand_cap: int | None = None,
+                           expand_width: int = 1):
+    """insert_slab_donating with the exact8 candidate engine: the int8
+    shadow (qvec [cap, D] i8, qscale [cap] f32) is threaded through the
+    batch loop — each batch stages its rows' quantized codes BEFORE its
+    sweep, so later batches in the slab see earlier ones as candidates,
+    exactly like the f32 staging does for the exact sweep.  Returns
+    (graph, qvec, qscale); all three inputs are DONATED."""
+    def body(i, state):
+        g, qv, qs = state
+        off = i * batch
+        points = jax.lax.dynamic_slice_in_dim(slab, off, batch, axis=0)
+        n_ins = jnp.clip(n_valid - off, 0, batch)
+        base = g.n_nodes
+        q, s = quantize_rows(points)
+        qv = jax.lax.dynamic_update_slice(qv, q, (base, 0))
+        qs = jax.lax.dynamic_update_slice(qs, s, (base,))
+        g = insert_batch_core(g, points, n_ins,
+                              ef_construction=ef_construction, m=m,
+                              max_m=max_m, metric_value=metric_value,
+                              cand_cap=cand_cap, expand_width=expand_width,
+                              candidates="exact8", qvec=qv, qscale=qs)
+        return g, qv, qs
+
+    return jax.lax.fori_loop(0, n_batches, body, (graph, qvec, qscale))
 
 
 def build_schedule(n: int, max_batch: int):

@@ -268,10 +268,13 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         #     packed traversal gathers T contiguous neighbor-code records
         #     (aligned with nbr_rows slot-for-slot) ------------------------
         if pcodes is not None:
-            codes = pcodes[safe_cur]                     # [T, maxM, D] i8
-            scales = pscales[safe_cur]                   # [T, maxM]
-            nvecs = (codes.reshape(tm, -1).astype(jnp.float32) *
-                     scales.reshape(tm)[:, None])
+            codes = pcodes[safe_cur]                     # [T, maxM, D]
+            if pscales is not None:                      # int8 + scales
+                scales = pscales[safe_cur]               # [T, maxM]
+                nvecs = (codes.reshape(tm, -1).astype(jnp.float32) *
+                         scales.reshape(tm)[:, None])
+            else:                                        # bf16/f32 records
+                nvecs = codes.reshape(tm, -1).astype(jnp.float32)
         elif qvectors is not None:
             nvecs = (qvectors[safe_nbrs].astype(jnp.float32) *
                      qscale[safe_nbrs][:, None])
@@ -315,9 +318,16 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         si = jnp.where(dup, -1, si)
         neg, sel = jax.lax.top_k(-sd, ef)
         res_d, res_i = -neg, si[sel]
-    if qvectors is not None or pcodes is not None:
+    approx_traversal = (qvectors is not None or
+                        (pcodes is not None and
+                         pcodes.dtype != jnp.float32))
+    if approx_traversal:
         # exact rerank of the ef results (full-precision distances, exact
-        # ordering among the surfaced candidates)
+        # ordering among the surfaced candidates).  f32 packed records
+        # skip this: their traversal distances are already the exact
+        # reference values (dist_one_to_many over the same f32 rows), so
+        # the walk is bit-identical to the plain mode — the strict-parity
+        # serving configuration (tests/test_round3_fixes.py pins it).
         fvecs = graph.vectors[jnp.maximum(res_i, 0)]
         rd = dist_one_to_many(query, fvecs, metric_value)
         rd = jnp.where(res_i >= 0, rd, _INF)

@@ -67,18 +67,45 @@ class ShardedHnswIndex:
                  initial_capacity: int = 1024,
                  max_insert_batch: int = 128,
                  search_expand_width: int = 4,
+                 build_expand_width: int = 8,
+                 build_candidates: str = "auto",
                  storage_dtype: str = "float32",
+                 quantized_traversal: bool = False,
                  packed_traversal: bool = False) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
+        # beam expansion width for CONSTRUCTION searches (see api.HnswIndex)
+        self.build_expand_width = int(build_expand_width)
+        # construction candidate generation, mirroring api.HnswIndex:
+        # "beam" (strict reference parity) / "exact" (MXU corpus sweep per
+        # shard — each shard sweeps only ITS slice, so the sweep stays
+        # O(N/S) per batch and the crossover threshold applies per shard) /
+        # "auto" (exact below exact_build_threshold rows PER SHARD)
+        if build_candidates not in ("auto", "beam", "exact"):
+            raise ValueError(
+                f"unknown build_candidates: {build_candidates!r}")
+        self.build_candidates = build_candidates
+        self.exact_build_threshold = 600_000   # per shard (api.py analog)
+        self.build_cand_cap: Optional[int] = None
+        # bulk-insert slab grains (batches per dispatch), as api.HnswIndex:
+        # one host->device upload + ONE shard_map dispatch per slab — the
+        # round-2 single-chip fix carried to the sharded tier (per-batch
+        # dispatch costs ~150ms tunnel latency; the CPU-mesh tests don't
+        # show it but real hardware does)
+        self.slab_batches = (128, 16)
         # per-shard auto-routing crossover (see _use_exact)
         self.exact_threshold = 5_500_000   # per shard; see api.py note
+        self.exact_threshold_packed = 2_200_000
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
         if storage_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown storage_dtype: {storage_dtype!r}")
         self.storage_dtype = storage_dtype
+        # int8 quantized traversal with exact rerank (api.HnswIndex's
+        # quantized_traversal, sharded): per-shard int8 shadow rows
+        self.quantized_traversal = bool(quantized_traversal)
+        self._quant = None   # (qvec [S,cap,D] i8, qscale [S,cap] f32)
         # packed neighbor-code records per shard (api.HnswIndex's
         # packed_traversal, sharded): rebuilt lazily after inserts
         self.packed_traversal = bool(packed_traversal)
@@ -106,6 +133,23 @@ class ShardedHnswIndex:
         self.counters: Dict[str, int] = {"n_inserted": 0, "n_deleted": 0,
                                          "n_searches": 0, "n_widenings": 0}
         self._step_cache: Dict = {}
+        # write-ahead delta log (see api.HnswIndex.enable_wal) — ONE logical
+        # log for the whole sharded index: records are logical
+        # (vectors + labels), and replay re-runs the deterministic
+        # round-robin partitioning, so per-shard logs would buy nothing
+        self._wal = None
+        self._wal_replaying = False
+
+    def enable_wal(self, path: str) -> None:
+        """Enable the write-ahead delta log (the GenericXLog analog,
+        embedding.c:651-686) — every add()/delete() is appended and fsync'd
+        BEFORE the device mutation.  load(snapshot, wal=path) replays the
+        tail; save() truncates the replayed prefix (see api.HnswIndex.save).
+        Reference discipline being carried over: per-insert durability
+        applies to ALL writers, not just the single-chip one."""
+        from ..wal import WalWriter
+
+        self._wal = WalWriter(path, self.config)
 
     # ------------------------------------------------------------------ #
 
@@ -148,36 +192,69 @@ class ShardedHnswIndex:
     # build
     # ------------------------------------------------------------------ #
 
-    def _insert_step(self, batch_size: int):
-        """Shard-mapped SPMD insert program for a given static batch size.
+    def _candidate_mode(self, count_at_start: int):
+        """Resolve (candidates, cand_cap) for a slab starting at the given
+        PER-SHARD node count (mirrors api.HnswIndex._candidate_mode; the
+        sweep cost is O(rows-per-shard), so the threshold applies per
+        shard)."""
+        mode = self.build_candidates
+        if mode == "auto":
+            mode = ("exact" if count_at_start < self.exact_build_threshold
+                    else "beam")
+        cap = self.build_cand_cap
+        if cap is None and mode == "exact":
+            cap = 2 * self.config.ef_construction
+        return mode, cap
 
-        Cached per (batch_size, capacity) so jit retraces are bounded."""
-        key = ("insert", batch_size, self.capacity_per_shard,
-               self.search_expand_width)
+    def _slab_step(self, batch: int, n_batches: int, candidates: str,
+                   cand_cap):
+        """Shard-mapped SLAB insert: ``n_batches`` sequential masked batch
+        inserts run INSIDE one compiled SPMD program per dispatch — the
+        single-chip insert_slab_donating (core/build.py) under shard_map.
+        Graph buffers are donated, so capacity-sized arrays update in
+        place instead of copying per slab.
+
+        Cached per (batch, n_batches, capacity, candidate mode)."""
+        key = ("slab", batch, n_batches, self.capacity_per_shard,
+               self.build_expand_width, candidates, cand_cap)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
 
-        def step(arrays, points, n_insert):
-            # points: [1, B, D] local; n_insert: [1] local
+        def step(arrays, slab, n_valid):
+            # slab: [1, n_batches*batch, D] local; n_valid: [1] local
             g = _local(arrays)
-            g = insert_batch_core(g, points[0], n_insert[0],
-                                  ef_construction=cfg.ef_construction,
-                                  m=cfg.m, max_m=cfg.max_m,
-                                  metric_value=cfg.metric.value,
-                                  expand_width=self.search_expand_width)
+
+            def body(i, g):
+                points = jax.lax.dynamic_slice_in_dim(
+                    slab[0], i * batch, batch, axis=0)
+                n_ins = jnp.clip(n_valid[0] - i * batch, 0, batch)
+                return insert_batch_core(
+                    g, points, n_ins,
+                    ef_construction=cfg.ef_construction,
+                    m=cfg.m, max_m=cfg.max_m,
+                    metric_value=cfg.metric.value, cand_cap=cand_cap,
+                    expand_width=self.build_expand_width,
+                    candidates=candidates)
+
+            g = jax.lax.fori_loop(0, n_batches, body, g)
             return _stacked(g)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(spec, P(AXIS), P(AXIS)),
-            out_specs=spec, check_vma=False))
+            out_specs=spec, check_vma=False), donate_argnums=(0,))
         self._step_cache[key] = fn
         return fn
 
     def add(self, vectors, labels=None) -> None:
-        """Round-robin partition + SPMD batched insert on every shard."""
+        """Round-robin partition + SPMD slab inserts on every shard.
+
+        The per-shard row streams are cut into (big, small)-grain slabs of
+        fixed shape; each slab is one host->device upload + ONE shard_map
+        dispatch (the batch loop runs inside the program) — dispatch-count
+        parity with the single-chip path (api.HnswIndex.add bulk branch)."""
         vectors = self._check_dims(vectors)
         n = vectors.shape[0]
         if labels is None:
@@ -187,6 +264,9 @@ class ShardedHnswIndex:
             labels = np.asarray(labels, np.uint64).reshape(-1)
             if labels.shape[0] != n:
                 raise ValueError("labels/vectors length mismatch")
+        if self._wal is not None and not self._wal_replaying:
+            # write-ahead: durable before any device mutation
+            self._wal.log_insert(vectors, labels)
 
         s = self.n_shards
         counts = self.shard_counts.copy()
@@ -209,25 +289,46 @@ class ShardedHnswIndex:
             self._positions[i, counts[i]: counts[i] + per_n[i]] = \
                 start + per_shard[i]
 
-        # insert in uniform fixed-shape SPMD batches; ragged tails (across
-        # batches AND across shards) use n_insert masking so exactly one
-        # program compiles per capacity
+        # slab schedule over the max per-shard stream (ragged tails across
+        # batches AND shards are n_insert-masked): (offset, rows, batches)
         max_off = int(per_n.max())
         b = self.max_insert_batch
+        big, small = self.slab_batches
+        schedule = []
+        off = 0
+        while max_off - off >= big * b:
+            schedule.append((off, big * b, big))
+            off += big * b
+        while off < max_off:
+            rows = min(small * b, max_off - off)
+            schedule.append((off, rows, small))
+            off += rows
+
         shard = NamedSharding(self.mesh, P(AXIS))
-        for off in range(0, max_off, b):
-            pts = np.zeros((s, b, self.config.dims), np.float32)
-            n_ins = np.zeros((s,), np.int32)
+
+        def _upload(soff, rows, nb):
+            pts = np.zeros((s, nb * b, self.config.dims), np.float32)
+            n_val = np.zeros((s,), np.int32)
             for i in range(s):
-                take = per_shard[i][off: off + b]
+                take = per_shard[i][soff: soff + nb * b]
                 pts[i, : len(take)] = vectors[take]
-                n_ins[i] = len(take)
-            self._arrays = self._insert_step(b)(
-                self._arrays, jax.device_put(pts, shard),
-                jax.device_put(n_ins, shard))
+                n_val[i] = len(take)
+            return (jax.device_put(pts, shard),
+                    jax.device_put(n_val, shard))
+
+        if schedule:
+            nxt = _upload(*schedule[0])
+            for si, (soff, rows, nb) in enumerate(schedule):
+                dev = nxt
+                if si + 1 < len(schedule):
+                    nxt = _upload(*schedule[si + 1])  # overlap with insert
+                mode, cap = self._candidate_mode(int(counts.min()) + soff)
+                self._arrays = self._slab_step(b, nb, mode, cap)(
+                    self._arrays, *dev)
         self._counts = counts + per_n
         self.counters["n_inserted"] += n
         self._packed = None  # records are stale once links changed
+        self._quant = None
 
     def build(self, vectors, labels=None) -> None:
         vectors = self._check_dims(vectors)
@@ -262,6 +363,7 @@ class ShardedHnswIndex:
         npos[:, :old] = self._positions
         self._positions = npos
         self._packed = None
+        self._quant = None
 
     # ------------------------------------------------------------------ #
     # search
@@ -299,16 +401,56 @@ class ShardedHnswIndex:
             self._packed = self._pack_step()(self._arrays)
         return self._packed
 
-    def _search_step(self, ef: int, k_total: int, packed: bool = False):
-        """Shard-mapped search + ICI all-gather + global top-k merge."""
+    def _quant_step(self):
+        """Shard-mapped int8 row quantization (api.HnswIndex._quantize per
+        shard): per-row symmetric scales, live rows only."""
+        key = ("quant", self.capacity_per_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        def quant(arrays):
+            g = _local(arrays)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (g.capacity, 1), 0)[:, 0]
+            live = (rows < g.n_nodes)[:, None]
+            v = jnp.where(live, g.vectors.astype(jnp.float32), 0.0)
+            scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-30) / 127.0
+            qv = jnp.clip(jnp.round(v / scale[:, None]), -127,
+                          127).astype(jnp.int8)
+            return qv[None], scale[None]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(quant, mesh=self.mesh, in_specs=(spec,),
+                                   out_specs=(P(AXIS), P(AXIS)),
+                                   check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def _ensure_quant(self):
+        if self._quant is None:
+            self._quant = self._quant_step()(self._arrays)
+        return self._quant
+
+    def _traversal_variant(self) -> str:
+        if self.packed_traversal:
+            return "packed"
+        if self.quantized_traversal:
+            return "quant"
+        return "plain"
+
+    def _search_step(self, ef: int, k_total: int, variant: str = "plain"):
+        """Shard-mapped search + ICI all-gather + global top-k merge.
+        ``variant``: "plain" f32 row gathers / "packed" contiguous int8
+        neighbor records / "quant" int8 row gathers — all with exact
+        rerank (see core/search._search_one)."""
         key = ("search", ef, k_total, self.capacity_per_shard,
-               self.search_expand_width, packed)
+               self.search_expand_width, variant)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
         cap = self.capacity_per_shard
 
-        def step(arrays, queries, excluded, pcodes, pscales):
+        def step(arrays, queries, excluded, aux_a, aux_b):
             g = _local(arrays)
             g = g._replace(deleted=g.deleted | excluded[0])
             q = queries  # replicated: [B, D]
@@ -316,12 +458,18 @@ class ShardedHnswIndex:
                                    metric_value=cfg.metric.value,
                                    cand_cap=ef,
                                    expand_width=self.search_expand_width)
-            if packed:
+            if variant == "packed":
                 d, i, hops, evals = jax.vmap(
                     lambda gg, qq, pc, ps: fn(gg, qq, pcodes=pc,
                                               pscales=ps),
-                    in_axes=(None, 0, None, None))(g, q, pcodes[0],
-                                                   pscales[0])
+                    in_axes=(None, 0, None, None))(g, q, aux_a[0],
+                                                   aux_b[0])
+            elif variant == "quant":
+                d, i, hops, evals = jax.vmap(
+                    lambda gg, qq, qv, qs: fn(gg, qq, qvectors=qv,
+                                              qscale=qs),
+                    in_axes=(None, 0, None, None))(g, q, aux_a[0],
+                                                   aux_b[0])
             else:
                 d, i, hops, evals = jax.vmap(fn, in_axes=(None, 0))(g, q)
             # filter tombstones on-shard before the merge so dead nodes
@@ -354,13 +502,13 @@ class ShardedHnswIndex:
             return out_d, out_g, jnp.max(all_f, axis=0)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-        if packed:
+        if variant != "plain":
             fn = jax.jit(jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(spec, P(), P(AXIS), P(AXIS), P(AXIS)),
                 out_specs=(P(), P(), P()), check_vma=False))
         else:
-            plain = functools.partial(step, pcodes=None, pscales=None)
+            plain = functools.partial(step, aux_a=None, aux_b=None)
             fn = jax.jit(jax.shard_map(
                 plain, mesh=self.mesh,
                 in_specs=(spec, P(), P(AXIS)),
@@ -488,12 +636,17 @@ class ShardedHnswIndex:
         n = self.n_nodes
         if where is not None:
             n = int(n - np.asarray(excluded).sum())
-        packed_ops = (self._ensure_packed() if self.packed_traversal
-                      else ())
+        variant = self._traversal_variant()
+        if variant == "packed":
+            aux = self._ensure_packed()
+        elif variant == "quant":
+            aux = self._ensure_quant()
+        else:
+            aux = ()
         while True:
             step = self._search_step(ef, min(k, ef * self.n_shards),
-                                     packed=self.packed_traversal)
-            d, g, found = step(self._arrays, qdev, excluded, *packed_ops)
+                                     variant=variant)
+            d, g, found = step(self._arrays, qdev, excluded, *aux)
             d = np.asarray(d)
             g = np.asarray(g)
             alive = (g >= 0) & np.isfinite(d)
@@ -525,15 +678,19 @@ class ShardedHnswIndex:
     # ------------------------------------------------------------------ #
 
     def tune_ef_search(self, queries, target_recall: float = 0.95,
-                       k: int = 10, max_ef: int = 4096) -> int:
+                       k: int = 10, max_ef: int = 4096,
+                       strict: bool = False):
         """Smallest power-of-two efSearch meeting ``target_recall`` on
         ``queries`` against the sharded exact oracle (the autotuner,
-        mirroring api.HnswIndex.tune_ef_search)."""
+        mirroring api.HnswIndex.tune_ef_search).  Returns
+        TuneResult(ef, recall, met); strict=True raises on miss."""
+        from ..api import TuneResult, TuneTargetMissed
+
         queries = self._check_dims(queries)
         _, ol, ov = self.exact_search(queries, k)
         ef = max(self.config.ef_search, k)
         ef = 1 << (ef - 1).bit_length()
-        best = ef
+        best, achieved = ef, 0.0
         while ef <= min(max_ef, max(self.n_nodes, 1)):
             d, l, v = self.search(queries, k, ef=ef, mode="graph")
             recs = []
@@ -541,23 +698,32 @@ class ShardedHnswIndex:
                 got = set(l[r][v[r]][:k].tolist())
                 want = set(ol[r][ov[r]][:k].tolist())
                 recs.append(len(got & want) / max(len(want), 1))
-            best = ef
-            if float(np.mean(recs)) >= target_recall:
+            best, achieved = ef, float(np.mean(recs))
+            if achieved >= target_recall:
                 break
             ef *= 2
+        met = achieved >= target_recall
+        if strict and not met:
+            raise TuneTargetMissed(
+                f"recall {achieved:.4f} at ef={best} misses target "
+                f"{target_recall} (max_ef={max_ef})")
         self.config = self.config.with_ef(ef_search=best)
-        return best
+        return TuneResult(best, achieved, met)
 
     def delete(self, labels) -> int:
         labels = np.asarray(labels, np.uint64).reshape(-1)
         dlt = np.asarray(self._arrays[3]).copy()
         counts = self.shard_counts
         n_new = 0
+        newly: list = []
         for i in range(self.n_shards):
             mine = self._labels[i, : counts[i]]
             dead = np.isin(mine, labels) & ~dlt[i, : counts[i]]
             n_new += int(dead.sum())
+            newly.append(mine[dead])
             dlt[i, : counts[i]] |= dead
+        if n_new and self._wal is not None and not self._wal_replaying:
+            self._wal.log_delete(np.concatenate(newly))
         shard = NamedSharding(self.mesh, P(AXIS))
         arrays = list(self._arrays)
         arrays[3] = jax.device_put(dlt, shard)
@@ -590,7 +756,10 @@ class ShardedHnswIndex:
             self.config, mesh=self.mesh,
             max_insert_batch=self.max_insert_batch,
             search_expand_width=self.search_expand_width,
+            build_expand_width=self.build_expand_width,
+            build_candidates=self.build_candidates,
             storage_dtype=self.storage_dtype,
+            quantized_traversal=self.quantized_traversal,
             packed_traversal=self.packed_traversal)
         if sum(len(v) for v in vecs):
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
@@ -625,20 +794,32 @@ class ShardedHnswIndex:
     # durability
     # ------------------------------------------------------------------ #
 
-    def save(self, path: str) -> None:
+    def _shard_file(self, path: str, i: int) -> str:
+        return path[:-4] + f".shard{i}.npz"
+
+    def save(self, path: str, per_shard: bool = False,
+             truncate_wal: bool = True) -> None:
         """Serialize all shards (same format discipline as HnswIndex.save:
-        arrays + config; everything else re-derived on load)."""
+        arrays + config; everything else re-derived on load; atomic
+        tmp+rename writes; WAL (epoch, offset) recorded and the replayed
+        prefix truncated — see api.HnswIndex.save).
+
+        ``per_shard=True`` splits the payload into one file per shard
+        (``<path>.shard<i>.npz``) plus a small manifest at ``path`` — the
+        per-host snapshot split for Deep100M-class indexes: each shard's
+        arrays move device->host and hit disk independently, so peak host
+        memory is one shard (not the whole index) and shard files can land
+        on different filesystems/hosts."""
         import json
         import os
 
-        from ..api import _npz_path
+        from ..api import _atomic_savez, _npz_path
 
         path = _npz_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
         hi = int(self._counts.max()) if self.n_nodes else 0
-        np.savez_compressed(
-            path,
+        do_truncate = truncate_wal and self._wal is not None
+        manifest = dict(
             format_version=np.int64(1),
             config=np.frombuffer(
                 json.dumps(self.config.to_dict()).encode(), dtype=np.uint8),
@@ -646,26 +827,65 @@ class ShardedHnswIndex:
                 self.storage_dtype.encode(), dtype=np.uint8),
             n_shards=np.int64(self.n_shards),
             shard_counts=self._counts.astype(np.int64),
-            # bf16 upcasts losslessly to f32 for serialization
-            vectors=vec[:, :hi].astype(np.float32),
-            links=lnk[:, :hi],
-            link_counts=cnt[:, :hi],
-            deleted=dlt[:, :hi],
-            labels=self._labels[:, :hi],
-            positions=self._positions[:, :hi],
+            wal_offset=np.int64(self._wal.tell() if self._wal is not None
+                                else -1),
+            wal_epoch=np.int64(self._wal.epoch if self._wal is not None
+                               else -1),
         )
+        if do_truncate:
+            nxt = self._wal.epoch + 1
+            manifest["wal_epoch_next"] = np.int64(nxt)
+            manifest["wal_offset_next"] = np.int64(
+                self._wal.header_len(nxt))
+        if per_shard:
+            for i in range(self.n_shards):
+                n_i = int(self._counts[i])
+                # one shard at a time device->host (bf16 upcasts to f32)
+                shard_payload = dict(
+                    shard=np.int64(i),
+                    vectors=np.asarray(self._arrays[0][i, :n_i], np.float32),
+                    links=np.asarray(self._arrays[1][i, :n_i]),
+                    link_counts=np.asarray(self._arrays[2][i, :n_i]),
+                    deleted=np.asarray(self._arrays[3][i, :n_i]),
+                    labels=self._labels[i, :n_i],
+                    positions=self._positions[i, :n_i],
+                )
+                compressed = shard_payload["vectors"].nbytes < (1 << 30)
+                _atomic_savez(self._shard_file(path, i), shard_payload,
+                              compressed)
+            manifest["per_shard"] = np.int64(1)
+            _atomic_savez(path, manifest, True)
+        else:
+            vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
+            manifest.update(
+                # bf16 upcasts losslessly to f32 for serialization
+                vectors=vec[:, :hi].astype(np.float32),
+                links=lnk[:, :hi],
+                link_counts=cnt[:, :hi],
+                deleted=dlt[:, :hi],
+                labels=self._labels[:, :hi],
+                positions=self._positions[:, :hi],
+            )
+            _atomic_savez(path, manifest,
+                          manifest["vectors"].nbytes < (1 << 30))
+        if do_truncate:
+            self._wal.truncate(self._wal.epoch + 1)
 
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None,
-             config: Optional[HnswConfig] = None) -> "ShardedHnswIndex":
+             config: Optional[HnswConfig] = None,
+             wal: Optional[str] = None) -> "ShardedHnswIndex":
         """Restore a sharded index. The mesh must have the same number of
         devices as the saved index had shards (resharding is a rebuild).
-        Frozen-field guard as in HnswIndex.load."""
+        Frozen-field guard as in HnswIndex.load.  Handles both monolithic
+        and per-shard-split snapshots; ``wal`` replays the delta-log tail
+        appended after the snapshot (see api.HnswIndex.load)."""
         import json
 
         from ..api import _npz_path
 
-        with np.load(_npz_path(path)) as z:
+        path = _npz_path(path)
+        with np.load(path) as z:
             stored = HnswConfig.from_dict(
                 json.loads(bytes(z["config"]).decode()))
             if config is not None:
@@ -678,11 +898,39 @@ class ShardedHnswIndex:
                 cfg = stored
             s = int(z["n_shards"])
             counts = z["shard_counts"]
-            vec, lnk, cnt = z["vectors"], z["links"], z["link_counts"]
-            dlt, lab = z["deleted"], z["labels"]
             storage_dtype = (bytes(z["storage_dtype"]).decode()
                              if "storage_dtype" in z else "float32")
-            pos = z["positions"] if "positions" in z else None
+            wal_offset = int(z["wal_offset"]) if "wal_offset" in z else -1
+            wal_epoch = int(z["wal_epoch"]) if "wal_epoch" in z else None
+            wal_next = (int(z["wal_epoch_next"]),
+                        int(z["wal_offset_next"])) \
+                if "wal_epoch_next" in z else None
+            split = bool(int(z["per_shard"])) if "per_shard" in z else False
+            if split:
+                vec = lnk = cnt = dlt = lab = pos = None
+            else:
+                vec, lnk, cnt = z["vectors"], z["links"], z["link_counts"]
+                dlt, lab = z["deleted"], z["labels"]
+                pos = z["positions"] if "positions" in z else None
+
+        if split:
+            # assemble padded per-shard stacks one shard file at a time
+            hi = int(counts.max()) if counts.max() else 0
+            vec = np.zeros((s, hi, cfg.dims), np.float32)
+            lnk = np.full((s, hi, cfg.max_m), -1, np.int32)
+            cnt = np.zeros((s, hi), np.int32)
+            dlt = np.zeros((s, hi), bool)
+            lab = np.zeros((s, hi), np.uint64)
+            pos = np.full((s, hi), -1, np.int64)
+            for i in range(s):
+                with np.load(path[:-4] + f".shard{i}.npz") as zi:
+                    n_i = int(counts[i])
+                    vec[i, :n_i] = zi["vectors"]
+                    lnk[i, :n_i] = zi["links"]
+                    cnt[i, :n_i] = zi["link_counts"]
+                    dlt[i, :n_i] = zi["deleted"]
+                    lab[i, :n_i] = zi["labels"]
+                    pos[i, :n_i] = zi["positions"]
 
         idx = cls(cfg, mesh=mesh,
                   initial_capacity=max(int(counts.max()), 32),
@@ -717,4 +965,27 @@ class ShardedHnswIndex:
                     np.arange(counts[i]) * s + i)
         idx._counts = counts.astype(np.int64)
         idx.counters["n_inserted"] = int(counts.sum())
+        if wal is not None:
+            idx._replay_wal(wal, wal_offset, wal_epoch, wal_next)
         return idx
+
+    def _replay_wal(self, wal_path: str, from_offset: int,
+                    snap_epoch=None, snap_next=None) -> None:
+        """Apply WAL records past the snapshot position (epoch-aware, see
+        api.HnswIndex._wal_replay_start), then keep journaling."""
+        from ..api import HnswIndex
+        from .. import wal as walmod
+
+        start = HnswIndex._wal_replay_start(wal_path, from_offset,
+                                            snap_epoch, snap_next)
+        self._wal_replaying = True
+        try:
+            for op, labels, vectors in walmod.replay(
+                    wal_path, self.config.dims, start):
+                if op == walmod.OP_INSERT:
+                    self.add(vectors, labels)
+                elif op == walmod.OP_DELETE:
+                    self.delete(labels)
+        finally:
+            self._wal_replaying = False
+        self.enable_wal(wal_path)

@@ -22,10 +22,22 @@ Design:
     acknowledged.
 
 Format (little-endian):
-  header: b"HNSWWAL1" + u32 len + config-json (frozen-field guard on reopen)
+  header: b"HNSWWAL1" + u32 len + config-json (frozen-field guard on reopen;
+          carries "epoch" — bumped by truncation, see below)
   record: u8 op (1=insert, 2=delete) + u32 count + payload
           op=1: u64 labels[count] + f32 vectors[count * dims]
           op=2: u64 labels[count]
+
+Lifecycle (round 3): the log no longer grows forever.  ``save()`` truncates
+the replayed prefix — the checkpoint-bounded discipline of the reference,
+where GenericXLog records are reclaimed once a Postgres checkpoint persists
+the pages (embedding.c:526-530, 651-686).  Truncation is made crash-safe by
+an *epoch* in the header: the snapshot is written first, recording BOTH the
+pre-truncation (epoch, offset) and the predicted post-truncation epoch;
+``truncate()`` then atomically replaces the file with a header-only log at
+the new epoch.  On recovery, the WAL's actual epoch selects which of the
+two replay positions applies, so a crash on either side of the truncation
+replays exactly the un-snapshotted tail — never a duplicate, never a loss.
 """
 
 from __future__ import annotations
@@ -49,24 +61,54 @@ class WalWriter:
     def __init__(self, path: str, config) -> None:
         self.path = path
         self.dims = config.dims
-        header_cfg = config.to_dict()
+        self._header_cfg = config.to_dict()
         if os.path.exists(path) and os.path.getsize(path) > 0:
             stored = read_header(path)
             if (stored.get("dims"), stored.get("m"), stored.get("metric")) \
-                    != (header_cfg.get("dims"), header_cfg.get("m"),
-                        header_cfg.get("metric")):
+                    != (self._header_cfg.get("dims"),
+                        self._header_cfg.get("m"),
+                        self._header_cfg.get("metric")):
                 raise ValueError(
                     "WAL was written with different frozen options "
                     "(dims/m/metric)")
+            self.epoch = int(stored.get("epoch", 0))
             self._f = open(path, "ab")
         else:
             d = os.path.dirname(os.path.abspath(path))
             os.makedirs(d, exist_ok=True)
+            self.epoch = 0
             self._f = open(path, "wb")
-            blob = json.dumps(header_cfg).encode()
-            self._f.write(_MAGIC + struct.pack("<I", len(blob)) + blob)
-            self._f.flush()
-            os.fsync(self._f.fileno())
+            self._write_header(self._f, 0)
+
+    def _write_header(self, f, epoch: int) -> None:
+        blob = json.dumps(dict(self._header_cfg, epoch=epoch)).encode()
+        f.write(_MAGIC + struct.pack("<I", len(blob)) + blob)
+        f.flush()
+        os.fsync(f.fileno())
+
+    def header_len(self, epoch: int) -> int:
+        """Byte offset just past the header a file at ``epoch`` would have
+        (= the replay start of a freshly truncated log)."""
+        blob = json.dumps(dict(self._header_cfg, epoch=epoch)).encode()
+        return 12 + len(blob)
+
+    def truncate(self, new_epoch: int) -> None:
+        """Atomically replace the log with a header-only file at
+        ``new_epoch`` — the checkpoint reclaiming the replayed prefix.
+        The caller must already have made the covering snapshot durable."""
+        tmp = self.path + ".truncating"
+        with open(tmp, "wb") as f:
+            self._write_header(f, new_epoch)
+        self._f.close()
+        os.replace(tmp, self.path)
+        dirfd = os.open(os.path.dirname(os.path.abspath(self.path)) or ".",
+                        os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+        self.epoch = new_epoch
+        self._f = open(self.path, "ab")
 
     def tell(self) -> int:
         return self._f.tell()

@@ -194,9 +194,10 @@ def test_tune_ef_search(corpus):
     idx = HnswIndex(HnswConfig(dims=24, m=8, ef_construction=48,
                                ef_search=8))
     idx.build(pts, np.arange(len(pts)))
-    ef = idx.tune_ef_search(qs, target_recall=0.95, k=10)
-    assert idx.config.ef_search == ef
-    assert ef >= 10
+    res = idx.tune_ef_search(qs, target_recall=0.95, k=10)
+    assert idx.config.ef_search == res.ef
+    assert res.ef >= 10
+    assert res.met and res.recall >= 0.95
     # the tuned ef actually delivers the target
     d, l, v = idx.search(qs, 10, mode="graph")
     de, le, ve = idx.exact_search(qs, 10)

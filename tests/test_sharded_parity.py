@@ -130,9 +130,10 @@ def test_sharded_tune_ef_search(corpus):
     pts, qs = corpus
     sidx = ShardedHnswIndex(_cfg(ef_search=8))
     sidx.build(pts, np.arange(len(pts)))
-    ef = sidx.tune_ef_search(qs, target_recall=0.95, k=10)
-    assert ef >= 10
-    assert sidx.config.ef_search == ef
+    res = sidx.tune_ef_search(qs, target_recall=0.95, k=10)
+    assert res.ef >= 10
+    assert sidx.config.ef_search == res.ef
+    assert res.met and res.recall >= 0.95
     d, l, v = sidx.search(qs, 10, mode="graph")
     _, le, ve = sidx.exact_search(qs, 10)
     rec = np.mean([len(set(l[i][v[i]]) & set(le[i][ve[i]])) / 10
