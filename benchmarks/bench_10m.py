@@ -91,12 +91,47 @@ def main():
         warm.add(pts[(big + 1) * 256: (2 * big + 2) * 256])
         np.asarray(warm.graph.n_nodes)
         del warm
-        idx = HnswIndex(cfg, max_insert_batch=256)
+        ckpt = "/tmp/bench10m_ckpt.npz"
+        done = 0
+        t_ck = 0.0
+        if os.environ.get("B10M_RESUME") == "1" and os.path.exists(ckpt):
+            idx = HnswIndex.load(ckpt)
+            done = idx.n_nodes
+            # pre-grow straight to the final capacity so the resumed tail
+            # reuses the SAME compiled programs as a fresh build (load
+            # sizes capacity to the checkpoint; doubling growth would land
+            # on a different, recompile-triggering grain)
+            from pg_embedding_tpu.core.graph import grow_graph
+            idx._graph = grow_graph(idx._graph,
+                                    N + idx.max_insert_batch)
+            grown = np.zeros(idx._graph.capacity, np.uint64)
+            grown[: len(idx._labels)] = idx._labels
+            idx._labels = grown
+            log(f"resumed from checkpoint at {done:,} rows "
+                f"(capacity {idx.graph.capacity:,})")
+        else:
+            idx = HnswIndex(cfg, max_insert_batch=256)
+        # chunked add: progress visibility + crash insurance on a shared
+        # dev tunnel whose worker can restart mid-run (observed r3); the
+        # per-2.5M checkpoints are excluded from the build-rate clock
         t0 = time.time()
-        idx.build(pts, np.arange(N))
-        np.asarray(idx.graph.n_nodes)
-        dt = time.time() - t0
-        log(f"TPU build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
+        for lo in range(done, N, 1_000_000):
+            hi = min(lo + 1_000_000, N)
+            idx.add(pts[lo:hi], np.arange(lo, hi))
+            np.asarray(idx.graph.n_nodes)
+            log(f"built {hi:>10,}  overall "
+                f"{(hi - done) / (time.time() - t0 - t_ck):.0f} vec/s")
+            if hi % 2_500_000 == 0 and hi < N:
+                tc = time.time()
+                idx.save(ckpt, compressed=False)
+                t_ck += time.time() - tc
+                log(f"checkpoint at {hi:,} ({time.time() - tc:.0f}s)")
+        dt = time.time() - t0 - t_ck
+        if done == 0:
+            log(f"TPU build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
+        else:
+            log(f"TPU build (resumed tail from {done:,}): "
+                f"{(N - done) / dt:.0f} vec/s marginal")
         if os.environ.get("BENCH_10M_SAVE") == "1":
             # ~6.5GB through the tunnel + single-thread zlib: ~25 min.
             # Worth it only when a cached index will be reused.
