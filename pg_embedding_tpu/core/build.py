@@ -408,12 +408,15 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
     elif candidates == "exact8":
         # int8-coarse sweep + exact f32 rerank (the >600k engine; the
         # caller threads the incrementally-maintained shadow arrays).
-        # 4x-wider chunks than the f32 sweep: at multi-million row counts
-        # the per-chunk top-k/merge machinery dominates the (cheap) int8
-        # matmul, so fewer+larger chunks is the lever
+        # 32x-wider chunks than the f32 sweep: the per-chunk top-k/merge
+        # machinery has a measured ~5ms fixed cost per chunk that dwarfs
+        # the (cheap) int8 matmul, so fewer+larger chunks is the lever —
+        # measured at base=8M on v5e: 1506/620/187/87 ms per 256-row batch
+        # at chunk=32k/131k/524k/1M.  The [B, chunk] f32 score tile is the
+        # ephemeral cost: ~1GB at chunk=1M, B=256.
         cand_d, cand_i = _exact_candidates(
             vectors, points, base, cand_cap=cand_cap,
-            metric_value=metric_value, chunk=131072,
+            metric_value=metric_value, chunk=1_048_576,
             qvec=qvec, qscale=qscale)
     else:
         # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
