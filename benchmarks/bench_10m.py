@@ -137,6 +137,11 @@ def main():
             # Worth it only when a cached index will be reused.
             idx.save(CACHE_IDX)
 
+    # free the exact8 build shadow before serving: 1.3GB of HBM the serve
+    # benches don't need resident (the quantized-serve bench rebuilds it)
+    idx._qvec = idx._qscale = None
+    idx._qvec_rows = 0
+
     qdev = jnp.asarray(qs)
     t0 = time.time()
     _, ol, _ = idx.exact_search(qs, K)

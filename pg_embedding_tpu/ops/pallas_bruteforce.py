@@ -242,6 +242,15 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
     return out_d.T, out_i.T
 
 
+@jax.jit
+def _row_norms(points):
+    """Fused squared-row-norms: eagerly, ``sum(points**2)`` materializes a
+    full [N, D] f32 temporary — 5.1GB at 10M x 128d, an OOM next to the
+    resident index.  Under jit XLA fuses the square into the reduction
+    (reads N*D, writes N)."""
+    return jnp.sum(points.astype(jnp.float32) ** 2, axis=1)[:, None]
+
+
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                         n_valid=None, deleted=None, tile_n: int | None = None,
                         tile_q: int | None = None,
@@ -339,7 +348,7 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-    pnorms = jnp.sum(points.astype(jnp.float32) ** 2, axis=1)[:, None]
+    pnorms = _row_norms(points)
     out_d, out_i = _pallas_exact(queries, points, pnorms,
                                  (deleted.astype(jnp.int32) > 0)[:, None],
                                  jnp.asarray(n, jnp.int32).reshape(1),
