@@ -607,9 +607,13 @@ class ShardedHnswIndex:
 
     def _use_exact(self, batch: int) -> bool:
         """Cost-based routing (see api.HnswIndex._use_exact): per-shard
-        exact cost is O(n_shard), so the crossover scales with the mesh."""
+        exact cost is O(n_shard), so the crossover scales with the mesh;
+        packed traversal roughly doubles graph QPS and halves the
+        crossover (the packed threshold, as on the single-chip router)."""
+        threshold = (self.exact_threshold_packed if self.packed_traversal
+                     else self.exact_threshold)
         per_shard = self.n_nodes / max(self.n_shards, 1)
-        return per_shard <= self.exact_threshold and batch >= 32
+        return per_shard <= threshold and batch >= 32
 
     def search(self, queries, k: int, ef: Optional[int] = None,
                mode: str = "auto", where=None
