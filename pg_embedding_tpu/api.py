@@ -167,7 +167,7 @@ class HnswIndex:
         # 1M, BASELINE.md), which pulls the exact/graph crossover in: the
         # same c/N exact fit (2.07e10/N) meets the packed plateau at ~2.2M.
         # _use_exact picks this threshold when packed_traversal is on.
-        self.exact_threshold_packed = 2_200_000
+        self.exact_threshold_packed = 2_700_000
         # int8 traversal with exact rerank: quarters the graph walk's HBM
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.

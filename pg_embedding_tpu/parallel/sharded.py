@@ -95,7 +95,7 @@ class ShardedHnswIndex:
         self.slab_batches = (128, 16)
         # per-shard auto-routing crossover (see _use_exact)
         self.exact_threshold = 5_500_000   # per shard; see api.py note
-        self.exact_threshold_packed = 2_200_000
+        self.exact_threshold_packed = 2_700_000
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self.max_insert_batch = int(max_insert_batch)
