@@ -1077,14 +1077,30 @@ class HnswScan:
         self._idx = index
         self._q = query                                 # [1, D] f32
         self._ef = ef
-        excluded = index._filter_to_excluded(where)
-        self._dead = (index._graph.deleted if excluded is None
-                      else index._graph.deleted | excluded)
+        # the where-filter is snapshotted at open (rescan to refresh);
+        # tombstones are re-read per fetch so concurrent deletes are seen
+        self._excluded = index._filter_to_excluded(where)
         self._buf_d: list = []                          # undelivered rows
         self._buf_l: list = []
         self._seen: set = set()                         # returned node ids
         self._no_more = False
         self._first = True
+
+    def _dead_mask(self):
+        """Current tombstone|filter mask, padded to the CURRENT capacity:
+        the graph may have grown since open (concurrent add); rows
+        inserted after open were never evaluated by the where-filter, so
+        they stay excluded (snapshot semantics) while fresh tombstones
+        are honored."""
+        dead = self._idx._graph.deleted
+        exc = self._excluded
+        if exc is None:
+            return dead
+        if exc.shape[0] != dead.shape[0]:
+            exc = jnp.pad(exc, (0, dead.shape[0] - exc.shape[0]),
+                          constant_values=True)
+            self._excluded = exc
+        return dead | exc
 
     @property
     def exhausted(self) -> bool:
@@ -1103,7 +1119,7 @@ class HnswScan:
             self._ef = idx._bucket_ef(self._ef * 2)
             idx.counters["n_widenings"] += 1
         dd, ii, stats = idx._graph_search(jnp.asarray(self._q), self._ef)
-        alive = np.asarray(idx._alive_mask(self._dead, ii))[0]
+        alive = np.asarray(idx._alive_mask(self._dead_mask(), ii))[0]
         d = np.asarray(dd)[0]
         i = np.asarray(ii)[0]
         idx.counters["n_searches"] += 1

@@ -231,3 +231,33 @@ def test_scan_filtered(built):
     d, l = scan.next(30)
     assert len(l) == 30
     assert (l % 2 == 0).all()
+
+
+def test_scan_sees_concurrent_deletes_and_survives_growth(rng):
+    """The cursor re-reads tombstones per fetch (concurrent deletes are
+    honored) and stays well-defined when the graph grows mid-scan (rows
+    inserted after open stay invisible under a where-filter snapshot)."""
+    pts = rng.normal(size=(150, 8)).astype(np.float32)
+    q = rng.normal(size=(1, 8)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dims=8, m=6, ef_construction=24, ef_search=8),
+                    initial_capacity=160)
+    idx.build(pts, np.arange(150))
+    scan = idx.open_scan(q, where=np.arange(150).astype(np.uint64))
+    d1, l1 = scan.next(5)
+    # delete labels the scan has neither returned NOR buffered (the first
+    # fetch caches up to ef=8 rows; rows already in the cache are returned
+    # even if deleted afterwards — snapshot semantics, as in Postgres)
+    _, ol, _ = idx.exact_search(q, 30)
+    victims = ol[0][10:20]
+    idx.delete(victims)
+    # grow the graph mid-scan (forces capacity growth past 160)
+    idx.add(rng.normal(size=(300, 8)).astype(np.float32),
+            np.arange(1000, 1300))
+    rest = []
+    while True:
+        d, l = scan.next(40)
+        rest.extend(l.tolist())
+        if len(l) < 40:
+            break
+    assert not np.isin(np.asarray(rest, np.uint64), victims).any()
+    assert all(r < 150 for r in rest)        # post-open inserts filtered
