@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HnswConfig
-from ..core.build import insert_batch_core
+from ..core.build import insert_batch_core, quantize_rows
 from ..core.graph import GraphState
 from ..core.search import _search_one
 
@@ -80,12 +80,16 @@ class ShardedHnswIndex:
         # "beam" (strict reference parity) / "exact" (MXU corpus sweep per
         # shard — each shard sweeps only ITS slice, so the sweep stays
         # O(N/S) per batch and the crossover threshold applies per shard) /
-        # "auto" (exact below exact_build_threshold rows PER SHARD)
-        if build_candidates not in ("auto", "beam", "exact"):
+        # "exact8" (int8-shadow coarse sweep + exact f32 rerank — the
+        # >600k-rows-per-shard engine, see core.build._exact_candidates) /
+        # "auto" (exact below exact_build_threshold rows PER SHARD, exact8
+        # from there to exact8_build_threshold, beam beyond)
+        if build_candidates not in ("auto", "beam", "exact", "exact8"):
             raise ValueError(
                 f"unknown build_candidates: {build_candidates!r}")
         self.build_candidates = build_candidates
         self.exact_build_threshold = 600_000   # per shard (api.py analog)
+        self.exact8_build_threshold: Optional[int] = None  # per shard
         self.build_cand_cap: Optional[int] = None
         # bulk-insert slab grains (batches per dispatch), as api.HnswIndex:
         # one host->device upload + ONE shard_map dispatch per slab — the
@@ -110,6 +114,12 @@ class ShardedHnswIndex:
         # packed_traversal, sharded): rebuilt lazily after inserts
         self.packed_traversal = bool(packed_traversal)
         self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
+        # incrementally-maintained int8 row shadow for the exact8 candidate
+        # engine (api.HnswIndex._qvec, stacked per shard): valid iff
+        # _qvec_counts matches the per-shard counts it describes
+        self._qvec = None        # [S, cap, D] int8
+        self._qscale = None      # [S, cap] f32
+        self._qvec_counts: Optional[np.ndarray] = None
 
         cap = self._pad_cap(initial_capacity)
         s = self.n_shards
@@ -199,10 +209,15 @@ class ShardedHnswIndex:
         shard)."""
         mode = self.build_candidates
         if mode == "auto":
-            mode = ("exact" if count_at_start < self.exact_build_threshold
-                    else "beam")
+            if count_at_start < self.exact_build_threshold:
+                mode = "exact"
+            elif (self.exact8_build_threshold is None or
+                  count_at_start < self.exact8_build_threshold):
+                mode = "exact8"
+            else:
+                mode = "beam"
         cap = self.build_cand_cap
-        if cap is None and mode == "exact":
+        if cap is None and mode in ("exact", "exact8"):
             cap = 2 * self.config.ef_construction
         return mode, cap
 
@@ -247,6 +262,63 @@ class ShardedHnswIndex:
             out_specs=spec, check_vma=False), donate_argnums=(0,))
         self._step_cache[key] = fn
         return fn
+
+    def _slab_step8(self, batch: int, n_batches: int, cand_cap):
+        """Shard-mapped exact8 SLAB insert — insert_slab_q_donating
+        (core/build.py) under shard_map: the per-shard int8 row shadow is
+        threaded through the batch loop (each batch stages its quantized
+        codes BEFORE its coarse sweep, so later batches see earlier ones as
+        candidates), and all buffers — graph AND shadow — are donated."""
+        key = ("slab8", batch, n_batches, self.capacity_per_shard,
+               self.build_expand_width, cand_cap)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.config
+
+        def step(arrays, qvec, qscale, slab, n_valid):
+            g = _local(arrays)
+
+            def body(i, state):
+                g, qv, qs = state
+                points = jax.lax.dynamic_slice_in_dim(
+                    slab[0], i * batch, batch, axis=0)
+                n_ins = jnp.clip(n_valid[0] - i * batch, 0, batch)
+                base = g.n_nodes
+                q, s = quantize_rows(points)
+                qv = jax.lax.dynamic_update_slice(qv, q, (base, 0))
+                qs = jax.lax.dynamic_update_slice(qs, s, (base,))
+                g = insert_batch_core(
+                    g, points, n_ins,
+                    ef_construction=cfg.ef_construction,
+                    m=cfg.m, max_m=cfg.max_m,
+                    metric_value=cfg.metric.value, cand_cap=cand_cap,
+                    expand_width=self.build_expand_width,
+                    candidates="exact8", qvec=qv, qscale=qs)
+                return g, qv, qs
+
+            g, qv, qs = jax.lax.fori_loop(
+                0, n_batches, body, (g, qvec[0], qscale[0]))
+            return _stacked(g), qv[None], qs[None]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(spec, P(AXIS), P(AXIS)), check_vma=False),
+            donate_argnums=(0, 1, 2))
+        self._step_cache[key] = fn
+        return fn
+
+    def _sync_shadow(self, counts_now: np.ndarray) -> None:
+        """Bring the int8 row shadow up to the current live rows if it is
+        missing or stale (one full shard-mapped quantize pass — only at the
+        first exact8 slab or after growth/non-exact8 slabs; appended rows
+        never change, so incremental staging equals a full requantization
+        thereafter)."""
+        if self._qvec is None or not np.array_equal(self._qvec_counts,
+                                                    counts_now):
+            self._qvec, self._qscale = self._quant_step()(self._arrays)
+            self._qvec_counts = counts_now.copy()
 
     def add(self, vectors, labels=None) -> None:
         """Round-robin partition + SPMD slab inserts on every shard.
@@ -316,6 +388,10 @@ class ShardedHnswIndex:
             return (jax.device_put(pts, shard),
                     jax.device_put(n_val, shard))
 
+        # packed/quant serving caches may alias the build shadow, which the
+        # exact8 slab DONATES — drop them before any dispatch
+        self._packed = None
+        self._quant = None
         if schedule:
             nxt = _upload(*schedule[0])
             for si, (soff, rows, nb) in enumerate(schedule):
@@ -323,12 +399,26 @@ class ShardedHnswIndex:
                 if si + 1 < len(schedule):
                     nxt = _upload(*schedule[si + 1])  # overlap with insert
                 mode, cap = self._candidate_mode(int(counts.min()) + soff)
-                self._arrays = self._slab_step(b, nb, mode, cap)(
-                    self._arrays, *dev)
+                if mode == "exact8":
+                    counts_now = counts + np.minimum(soff, per_n)
+                    self._sync_shadow(counts_now)
+                    (self._arrays, self._qvec,
+                     self._qscale) = self._slab_step8(b, nb, cap)(
+                        self._arrays, self._qvec, self._qscale, *dev)
+                    self._qvec_counts = counts + np.minimum(soff + nb * b,
+                                                            per_n)
+                else:
+                    self._arrays = self._slab_step(b, nb, mode, cap)(
+                        self._arrays, *dev)
         self._counts = counts + per_n
         self.counters["n_inserted"] += n
-        self._packed = None  # records are stale once links changed
-        self._quant = None
+        # the int8 row shadow survives the add iff the exact8 threading
+        # maintained it through every inserted row (api.add discipline)
+        if self._qvec is not None and not np.array_equal(self._qvec_counts,
+                                                         self._counts):
+            self._qvec = None
+            self._qscale = None
+            self._qvec_counts = None
 
     def build(self, vectors, labels=None) -> None:
         vectors = self._check_dims(vectors)
@@ -364,6 +454,11 @@ class ShardedHnswIndex:
         self._positions = npos
         self._packed = None
         self._quant = None
+        # capacity-shaped shadow: rebuilt at the new capacity by the next
+        # exact8 slab (or quantized search)
+        self._qvec = None
+        self._qscale = None
+        self._qvec_counts = None
 
     # ------------------------------------------------------------------ #
     # search
@@ -428,7 +523,14 @@ class ShardedHnswIndex:
 
     def _ensure_quant(self):
         if self._quant is None:
-            self._quant = self._quant_step()(self._arrays)
+            # the exact8 build shadow IS the quantized-traversal shadow —
+            # reuse it when it covers every live row (add() drops serving
+            # caches before donating, so the alias is safe)
+            if self._qvec is not None and np.array_equal(self._qvec_counts,
+                                                         self._counts):
+                self._quant = (self._qvec, self._qscale)
+            else:
+                self._quant = self._quant_step()(self._arrays)
         return self._quant
 
     def _traversal_variant(self) -> str:

@@ -74,8 +74,9 @@ def test_sharded_exact_candidates_quality(corpus):
 
 
 def test_sharded_auto_candidates_threshold(corpus, monkeypatch):
-    """auto resolves to exact below the per-shard threshold and beam
-    above it."""
+    """auto resolves to exact below the per-shard threshold, exact8 up to
+    exact8_build_threshold, and beam above that (api._candidate_mode
+    semantics on the sharded tier)."""
     pts, _ = corpus
     idx = ShardedHnswIndex(_cfg(), build_candidates="auto")
     modes = []
@@ -85,12 +86,23 @@ def test_sharded_auto_candidates_threshold(corpus, monkeypatch):
         modes.append(candidates)
         return orig(self, batch, n_batches, candidates, cand_cap)
 
+    orig8 = ShardedHnswIndex._slab_step8
+
+    def spy8(self, batch, n_batches, cand_cap):
+        modes.append("exact8")
+        return orig8(self, batch, n_batches, cand_cap)
+
     monkeypatch.setattr(ShardedHnswIndex, "_slab_step", spy)
+    monkeypatch.setattr(ShardedHnswIndex, "_slab_step8", spy8)
     idx.add(pts[:400], np.arange(400))
     assert set(modes) == {"exact"}
     modes.clear()
-    idx.exact_build_threshold = 10          # force the beam regime
+    idx.exact_build_threshold = 10          # force the exact8 regime
     idx.add(pts[400:800], np.arange(400, 800))
+    assert set(modes) == {"exact8"}
+    modes.clear()
+    idx.exact8_build_threshold = 20         # force the beam regime
+    idx.add(pts[800:1200], np.arange(800, 1200))
     assert set(modes) == {"beam"}
     idx.check_integrity()
 
