@@ -98,7 +98,8 @@ class HnswIndex:
                  storage_dtype: str = "float32",
                  quantized_traversal: bool = False,
                  packed_traversal: bool = False,
-                 packed_dtype: str = "int8") -> None:
+                 packed_dtype: str = "int8",
+                 pq_groups: int = 16) -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
         # "float32" (exact, reference precision) or "bfloat16" (halves the
@@ -194,9 +195,24 @@ class HnswIndex:
         #                collapsing T*maxM random row gathers to T record
         #                gathers — the strict-parity serving mode for
         #                corpora where maxM*D*4 bytes/node fits (~500k@128d)
-        if packed_dtype not in ("int8", "bfloat16", "float32"):
+        #   "pq"       — product-quantized codes (ops/pq.py): D/pq_groups
+        #                bytes/elem — the ONLY record type that fits past
+        #                ~2M@128d/chip (int8 records need maxM*D bytes/node:
+        #                41GB at 10M; pq at G=16 needs 5.1GB). Codebook
+        #                trained once per index on a corpus sample; decode
+        #                is a register-level codebook gather feeding the
+        #                same dense distance (TPU-native ADC), then the
+        #                exact rerank — a serving knob like the others.
+        if packed_dtype not in ("int8", "bfloat16", "float32", "pq"):
             raise ValueError(f"unknown packed_dtype: {packed_dtype!r}")
         self.packed_dtype = packed_dtype
+        if packed_dtype == "pq" and config.dims % int(pq_groups):
+            raise ValueError(
+                f"dims {config.dims} not divisible by pq_groups {pq_groups}")
+        self.pq_groups = int(pq_groups)
+        self._pq_codebook = None        # f32[G, 256, D/G], trained lazily
+        self.pq_train_sample = 131_072  # rows sampled for codebook training
+        self.pq_train_iters = 12
         self._qvec = None
         self._qscale = None
         self._pcodes = None
@@ -435,6 +451,7 @@ class HnswIndex:
         self._count = 0
         self._qvec = None
         self._qvec_rows = 0
+        self._pq_codebook = None
         self.add(vectors, labels)
 
     # ------------------------------------------------------------------ #
@@ -489,6 +506,13 @@ class HnswIndex:
         vs = self._visited_slots(ef)
         if self.packed_traversal:
             pc, ps = self._ensure_packed()
+            if self.packed_dtype == "pq":
+                from .core.search import search_graph_pq
+                return search_graph_pq(
+                    self._graph, qdev, pc, self._pq_codebook, ef=ef,
+                    metric_value=self.config.metric.value,
+                    expand_width=self.search_expand_width,
+                    visited_slots=vs)
             return search_graph_packed(
                 self._graph, qdev, pc, ps, ef=ef,
                 metric_value=self.config.metric.value,
@@ -539,9 +563,40 @@ class HnswIndex:
         safe = jnp.maximum(links, 0)
         return vectors.astype(jnp.dtype(dtype))[safe]
 
+    def _ensure_pq_codebook(self):
+        """Train the PQ codebook once per index on a strided corpus sample
+        (ops/pq.train_pq).  The codebook is a compression dictionary — it
+        stays usable as the corpus grows (codes are re-derived per packing
+        pass), and compact()/build() reset it with everything else."""
+        if self._pq_codebook is None:
+            from .ops.pq import train_pq
+
+            n = max(self.n_nodes, 1)
+            stride = max(1, n // self.pq_train_sample)
+            sample = jnp.asarray(self._graph.vectors[:n:stride],
+                                 jnp.float32)
+            self._pq_codebook = train_pq(sample, groups=self.pq_groups,
+                                         iters=self.pq_train_iters)
+        return self._pq_codebook
+
+    @staticmethod
+    @jax.jit
+    def _pack_records_gather(codes, links):
+        safe = jnp.maximum(links, 0)
+        return codes[safe]                           # [cap, maxM, G]
+
     def _ensure_packed(self):
         if self._pcodes is None:
-            if self.packed_dtype == "int8":
+            if self.packed_dtype == "pq":
+                from .ops.pq import pq_encode
+
+                cb = self._ensure_pq_codebook()
+                codes = pq_encode(
+                    jnp.asarray(self._graph.vectors, jnp.float32), cb)
+                self._pcodes = self._pack_records_gather(
+                    codes, self._graph.links)
+                self._pscales = None
+            elif self.packed_dtype == "int8":
                 qv, qs = self._ensure_quantized()
                 self._pcodes, self._pscales = self._pack_records(
                     qv, qs, self._graph.links)
@@ -820,7 +875,8 @@ class HnswIndex:
                           storage_dtype=self.storage_dtype,
                           quantized_traversal=self.quantized_traversal,
                           packed_traversal=self.packed_traversal,
-                          packed_dtype=self.packed_dtype)
+                          packed_dtype=self.packed_dtype,
+                          pq_groups=self.pq_groups)
         if len(vecs):
             fresh.build(vecs, labels)
         return fresh

@@ -80,7 +80,8 @@ def _merge_topk(d_a, i_a, d_b, i_b, k: int):
 def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                 metric_value: int, cand_cap: int,
                 expand_width: int = 1, qvectors=None, qscale=None,
-                pcodes=None, pscales=None, visited_slots: int = -1):
+                pcodes=None, pscales=None, pq_codebook=None,
+                visited_slots: int = -1):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
     hops, dist_evals); results ascending, -1/inf padded.
 
@@ -104,6 +105,14 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     HBM-transaction-bound (BASELINE.md profiling note), so collapsing the
     transaction count is the lever that actually moves it.  Same exact
     rerank as the quantized path.
+
+    PQ traversal: when ``pq_codebook`` (f32[G, 256, D/G], ops/pq.py) is
+    also given, ``pcodes`` holds PQ codes (uint8[cap, maxM, G]) instead of
+    int8 dims — D/G-fold smaller records than int8 packing (the regime
+    where int8 records exceed HBM: 41GB at 10M x 128d x maxM=32 vs 5.1GB
+    at G=16).  Decoding is a register-level codebook gather (the TPU ADC —
+    see ops/pq.py) feeding the same dense distance; the exact rerank below
+    restores full-precision ordering of the surfaced ef.
 
     Visited set: ``visited_slots == -1`` (the default used by the API) is
     the DENSE-DEDUPE mode — no visited memory at all.  The reference's
@@ -268,8 +277,11 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         #     packed traversal gathers T contiguous neighbor-code records
         #     (aligned with nbr_rows slot-for-slot) ------------------------
         if pcodes is not None:
-            codes = pcodes[safe_cur]                     # [T, maxM, D]
-            if pscales is not None:                      # int8 + scales
+            codes = pcodes[safe_cur]                     # [T, maxM, D or G]
+            if pq_codebook is not None:                  # PQ codes
+                from ..ops.pq import pq_decode
+                nvecs = pq_decode(codes.reshape(tm, -1), pq_codebook)
+            elif pscales is not None:                    # int8 + scales
                 scales = pscales[safe_cur]               # [T, maxM]
                 nvecs = (codes.reshape(tm, -1).astype(jnp.float32) *
                          scales.reshape(tm)[:, None])
@@ -380,6 +392,29 @@ def search_graph_packed(graph: GraphState, queries: jax.Array,
     res_d, res_i, hops, evals = jax.vmap(
         lambda g, q, pc, ps: fn(g, q, pcodes=pc, pscales=ps),
         in_axes=(None, 0, None, None))(graph, queries, pcodes, pscales)
+    return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ef", "metric_value", "cand_cap",
+                                    "expand_width", "visited_slots"))
+def search_graph_pq(graph: GraphState, queries: jax.Array,
+                    pcodes: jax.Array, codebook: jax.Array, *,
+                    ef: int, metric_value: int,
+                    cand_cap: int | None = None, expand_width: int = 1,
+                    visited_slots: int = -1
+                    ) -> Tuple[jax.Array, jax.Array, SearchStats]:
+    """Batched searchBaseLayer over packed PQ neighbor records + exact
+    rerank (see _search_one). pcodes: uint8[cap, maxM, G] (node i's row j =
+    the PQ code of links[i, j]); codebook: f32[G, 256, D/G] (ops/pq.py)."""
+    if cand_cap is None:
+        cand_cap = ef
+    fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
+                           cand_cap=cand_cap, expand_width=expand_width,
+                           visited_slots=visited_slots)
+    res_d, res_i, hops, evals = jax.vmap(
+        lambda g, q, pc, cb: fn(g, q, pcodes=pc, pq_codebook=cb),
+        in_axes=(None, 0, None, None))(graph, queries, pcodes, codebook)
     return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)
 
 

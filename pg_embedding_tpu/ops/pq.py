@@ -1,0 +1,136 @@
+"""Product quantization — compressed vector codes for memory-bound serving.
+
+The reference stores full f32 coordinates per node (embedding.c:224-231)
+and has no compressed form at all; at TPU serving scale the traversal's
+HBM footprint is the binding constraint (BASELINE.md profiling: the graph
+walk is gather-TRANSACTION-bound, and packed neighbor records — the fix —
+cost maxM * D bytes/node, 41GB at 10M x 128d x maxM=32 in int8).  PQ cuts
+the per-dimension byte cost D/G-fold: D dims split into G contiguous
+groups, each group encoded as the index of its nearest centroid among 256
+learned per-group centroids (one byte per group).
+
+TPU-native ADC: classic CPU PQ scans with a per-query lookup table
+(sum over groups of LUT[g, code[g]] — scalar gathers).  Here decoding is a
+table GATHER into registers followed by the standard MXU/VPU distance on
+the reconstructed rows: the codebook is ~256*D floats (128KB at D=128, it
+lives in VMEM), so "dequantize + dense distance" costs the same HBM bytes
+as the LUT walk (just the codes) while keeping every distance on the
+matrix/vector units — the same move the int8 exact8 sweep makes
+(core/build._exact_candidates), one compression level further.
+
+Training is plain per-group Lloyd k-means, all groups batched into one
+[G, n, sub] x [G, 256, sub] MXU program per iteration.  L2 codebooks are
+used for every metric: encode/decode is a pure compression layer, and the
+serving paths rerank surfaced candidates with exact full-precision
+distances (core/search._search_one), so metric semantics stay with the
+reference's forms (distfunc.c:11-40).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+N_CENTROIDS = 256  # one byte per group — the PQ standard
+
+
+def _group_view(vectors: jax.Array, groups: int) -> jax.Array:
+    """[N, D] -> [G, N, D/G] (contiguous dim groups)."""
+    n, d = vectors.shape
+    if d % groups:
+        raise ValueError(f"dims {d} not divisible by pq groups {groups}")
+    return jnp.moveaxis(vectors.reshape(n, groups, d // groups), 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "iters"))
+def train_pq(sample: jax.Array, *, groups: int, iters: int = 12,
+             seed: int = 0) -> jax.Array:
+    """Learn per-group codebooks with batched Lloyd k-means.
+
+    Args:
+      sample: f32[n, D] training rows (a few 10k-100k suffice; callers
+              stride-sample large corpora).
+      groups: G — number of contiguous dim groups (D % G == 0).
+      iters:  Lloyd iterations (random-row init; empty clusters keep their
+              previous centroid, the standard degenerate-case choice).
+      seed:   PRNG seed for the init draw.
+
+    Returns codebook f32[G, 256, D/G].
+    """
+    x = _group_view(sample.astype(jnp.float32), groups)   # [G, n, sub]
+    n = x.shape[1]
+    key = jax.random.PRNGKey(seed)
+    # independent random-row init per group (sampling WITH replacement is
+    # fine: duplicate centroids separate after one iteration unless the
+    # data has < 256 distinct rows, in which case duplicates are harmless)
+    init_idx = jax.random.randint(key, (groups, N_CENTROIDS), 0, n)
+    cb = jnp.take_along_axis(x, init_idx[:, :, None], axis=1)  # [G, 256, sub]
+
+    x_sq = jnp.sum(x * x, axis=2)                          # [G, n]
+
+    def lloyd(_, cb):
+        # assignment: argmin ||x - c||^2 = x2 - 2xc + c2, batched matmul
+        xc = jnp.einsum("gns,gcs->gnc", x, cb,
+                        preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(cb * cb, axis=2)                    # [G, 256]
+        assign = jnp.argmin(x_sq[:, :, None] - 2.0 * xc + c_sq[:, None, :],
+                            axis=2)                        # [G, n]
+        # update: per-(group, centroid) mean via one-hot matmul (MXU)
+        onehot = jax.nn.one_hot(assign, N_CENTROIDS, dtype=jnp.float32)
+        sums = jnp.einsum("gnc,gns->gcs", onehot, x,
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=1)                   # [G, 256]
+        new_cb = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        return jnp.where((counts > 0)[:, :, None], new_cb, cb)
+
+    return jax.lax.fori_loop(0, iters, lloyd, cb)
+
+
+def encode_block(vectors: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Nearest-centroid codes for one block: f32[n, D] -> uint8[n, G].
+    Un-jitted core (also used inside chunked loops / shard_map)."""
+    groups = codebook.shape[0]
+    x = _group_view(vectors.astype(jnp.float32), groups)   # [G, n, sub]
+    xc = jnp.einsum("gns,gcs->gnc", x, codebook,
+                    preferred_element_type=jnp.float32)
+    c_sq = jnp.sum(codebook * codebook, axis=2)
+    # x_sq is constant across centroids — argmin doesn't need it
+    assign = jnp.argmin(c_sq[:, None, :] - 2.0 * xc, axis=2)  # [G, n]
+    return jnp.moveaxis(assign, 0, 1).astype(jnp.uint8)       # [n, G]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(vectors: jax.Array, codebook: jax.Array, *,
+              chunk: int = 32768) -> jax.Array:
+    """Chunked full-corpus encode: f32[N, D] -> uint8[N, G].  The [n, 256]
+    score tile is the ephemeral cost; chunking bounds it regardless of N."""
+    n = vectors.shape[0]
+    groups = codebook.shape[0]
+    if n <= chunk:
+        return encode_block(vectors, codebook)
+    codes = jnp.zeros((n, groups), jnp.uint8)
+    n_chunks = -(-n // chunk)
+
+    def body(c, codes):
+        start = jnp.minimum(c * chunk, n - chunk)
+        block = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
+        # overlapping rows from the clamped last chunk re-encode
+        # identically, so the overwrite is a no-op
+        return jax.lax.dynamic_update_slice(
+            codes, encode_block(block, codebook), (start, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, codes)
+
+
+def pq_decode(codes: jax.Array, codebook: jax.Array,
+              dtype=jnp.float32) -> jax.Array:
+    """Reconstruct rows from codes: uint8[..., G] -> dtype[..., D].
+    A register-level table gather (the codebook sits in VMEM) — the
+    TPU-native ADC decode used inside traversal and sweep hot loops."""
+    groups, _, sub = codebook.shape
+    flat = codes.reshape(-1, groups).astype(jnp.int32)
+    subvecs = codebook.astype(dtype)[
+        jnp.arange(groups)[None, :], flat]                 # [n, G, sub]
+    return subvecs.reshape(*codes.shape[:-1], groups * sub)

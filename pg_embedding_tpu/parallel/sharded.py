@@ -71,7 +71,9 @@ class ShardedHnswIndex:
                  build_candidates: str = "auto",
                  storage_dtype: str = "float32",
                  quantized_traversal: bool = False,
-                 packed_traversal: bool = False) -> None:
+                 packed_traversal: bool = False,
+                 packed_dtype: str = "int8",
+                 pq_groups: int = 16) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
         # beam expansion width for CONSTRUCTION searches (see api.HnswIndex)
@@ -111,8 +113,24 @@ class ShardedHnswIndex:
         self.quantized_traversal = bool(quantized_traversal)
         self._quant = None   # (qvec [S,cap,D] i8, qscale [S,cap] f32)
         # packed neighbor-code records per shard (api.HnswIndex's
-        # packed_traversal, sharded): rebuilt lazily after inserts
+        # packed_traversal, sharded): rebuilt lazily after inserts.
+        # packed_dtype "int8" (default) or "pq" (product-quantized records,
+        # D/pq_groups bytes/elem — the only record type that fits past ~2M
+        # rows/shard at 128d; see api.HnswIndex).  The PQ codebook is
+        # GLOBAL: trained once on a cross-shard sample and replicated over
+        # the mesh, so every shard compresses consistently and the merged
+        # top-k reranks against one dictionary.
         self.packed_traversal = bool(packed_traversal)
+        if packed_dtype not in ("int8", "pq"):
+            raise ValueError(f"unknown packed_dtype: {packed_dtype!r}")
+        if packed_dtype == "pq" and config.dims % int(pq_groups):
+            raise ValueError(
+                f"dims {config.dims} not divisible by pq_groups {pq_groups}")
+        self.packed_dtype = packed_dtype
+        self.pq_groups = int(pq_groups)
+        self.pq_train_sample = 131_072
+        self.pq_train_iters = 12
+        self._pq_codebook = None
         self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
         # incrementally-maintained int8 row shadow for the exact8 candidate
         # engine (api.HnswIndex._qvec, stacked per shard): valid iff
@@ -491,9 +509,58 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    def _ensure_pq_codebook(self):
+        """Train the global PQ codebook on a strided cross-shard sample
+        (see api.HnswIndex._ensure_pq_codebook; one dictionary for the
+        whole mesh so merged candidates compress consistently)."""
+        if self._pq_codebook is None:
+            from ..ops.pq import train_pq
+
+            counts = self.shard_counts
+            per = max(1, self.pq_train_sample // max(self.n_shards, 1))
+            rows = []
+            for i in range(self.n_shards):
+                n_i = int(counts[i])
+                if n_i:
+                    stride = max(1, n_i // per)
+                    rows.append(np.asarray(self._arrays[0][i, :n_i:stride],
+                                           np.float32))
+            sample = (np.concatenate(rows) if rows
+                      else np.zeros((1, self.config.dims), np.float32))
+            self._pq_codebook = train_pq(jnp.asarray(sample),
+                                         groups=self.pq_groups,
+                                         iters=self.pq_train_iters)
+        return self._pq_codebook
+
+    def _pack_step_pq(self):
+        """Shard-mapped builder for packed PQ neighbor records: encode the
+        local rows against the REPLICATED global codebook, then one gather
+        co-locates every node's neighbors' codes (cf. _pack_step)."""
+        key = ("packpq", self.capacity_per_shard, self.pq_groups)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        from ..ops.pq import pq_encode
+
+        def pack(arrays, codebook):
+            g = _local(arrays)
+            codes = pq_encode(g.vectors.astype(jnp.float32), codebook)
+            safe = jnp.maximum(g.links, 0)
+            return codes[safe][None]                 # [1, cap, maxM, G]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(pack, mesh=self.mesh,
+                                   in_specs=(spec, P()),
+                                   out_specs=P(AXIS), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
     def _ensure_packed(self):
         if self._packed is None:
-            self._packed = self._pack_step()(self._arrays)
+            if self.packed_dtype == "pq":
+                cb = self._ensure_pq_codebook()
+                self._packed = (self._pack_step_pq()(self._arrays, cb), cb)
+            else:
+                self._packed = self._pack_step()(self._arrays)
         return self._packed
 
     def _quant_step(self):
@@ -535,7 +602,7 @@ class ShardedHnswIndex:
 
     def _traversal_variant(self) -> str:
         if self.packed_traversal:
-            return "packed"
+            return "pq" if self.packed_dtype == "pq" else "packed"
         if self.quantized_traversal:
             return "quant"
         return "plain"
@@ -560,7 +627,13 @@ class ShardedHnswIndex:
                                    metric_value=cfg.metric.value,
                                    cand_cap=ef,
                                    expand_width=self.search_expand_width)
-            if variant == "packed":
+            if variant == "pq":
+                # aux_b is the REPLICATED global codebook (not per-shard)
+                d, i, hops, evals = jax.vmap(
+                    lambda gg, qq, pc, cb: fn(gg, qq, pcodes=pc,
+                                              pq_codebook=cb),
+                    in_axes=(None, 0, None, None))(g, q, aux_a[0], aux_b)
+            elif variant == "packed":
                 d, i, hops, evals = jax.vmap(
                     lambda gg, qq, pc, ps: fn(gg, qq, pcodes=pc,
                                               pscales=ps),
@@ -604,7 +677,12 @@ class ShardedHnswIndex:
             return out_d, out_g, jnp.max(all_f, axis=0)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-        if variant != "plain":
+        if variant == "pq":
+            fn = jax.jit(jax.shard_map(
+                step, mesh=self.mesh,
+                in_specs=(spec, P(), P(AXIS), P(AXIS), P()),
+                out_specs=(P(), P(), P()), check_vma=False))
+        elif variant != "plain":
             fn = jax.jit(jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(spec, P(), P(AXIS), P(AXIS), P(AXIS)),
@@ -743,7 +821,7 @@ class ShardedHnswIndex:
         if where is not None:
             n = int(n - np.asarray(excluded).sum())
         variant = self._traversal_variant()
-        if variant == "packed":
+        if variant in ("packed", "pq"):
             aux = self._ensure_packed()
         elif variant == "quant":
             aux = self._ensure_quant()
@@ -866,7 +944,9 @@ class ShardedHnswIndex:
             build_candidates=self.build_candidates,
             storage_dtype=self.storage_dtype,
             quantized_traversal=self.quantized_traversal,
-            packed_traversal=self.packed_traversal)
+            packed_traversal=self.packed_traversal,
+            packed_dtype=self.packed_dtype,
+            pq_groups=self.pq_groups)
         if sum(len(v) for v in vecs):
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
         return fresh
