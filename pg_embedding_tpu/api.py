@@ -99,7 +99,8 @@ class HnswIndex:
                  quantized_traversal: bool = False,
                  packed_traversal: bool = False,
                  packed_dtype: str = "int8",
-                 pq_groups: int = 16) -> None:
+                 pq_groups: int = 16,
+                 pq_opq: bool = False) -> None:
         self.config = config
         self.max_insert_batch = int(max_insert_batch)
         # "float32" (exact, reference precision) or "bfloat16" (halves the
@@ -210,7 +211,16 @@ class HnswIndex:
             raise ValueError(
                 f"dims {config.dims} not divisible by pq_groups {pq_groups}")
         self.pq_groups = int(pq_groups)
+        # OPQ (ops/pq.train_opq): learn an orthogonal rotation before PQ —
+        # better codebooks for correlated dims at the cost of one q @ R per
+        # query batch.  L2/cosine only: Manhattan is not rotation-invariant
+        if pq_opq and config.metric == Metric.MANHATTAN:
+            raise ValueError(
+                "pq_opq requires a rotation-invariant metric (l2/cosine); "
+                "manhattan distances change under rotation")
+        self.pq_opq = bool(pq_opq)
         self._pq_codebook = None        # f32[G, 256, D/G], trained lazily
+        self._pq_rot = None             # f32[D, D] when pq_opq
         self.pq_train_sample = 131_072  # rows sampled for codebook training
         self.pq_train_iters = 12
         self._qvec = None
@@ -452,6 +462,7 @@ class HnswIndex:
         self._qvec = None
         self._qvec_rows = 0
         self._pq_codebook = None
+        self._pq_rot = None
         self.add(vectors, labels)
 
     # ------------------------------------------------------------------ #
@@ -509,7 +520,8 @@ class HnswIndex:
             if self.packed_dtype == "pq":
                 from .core.search import search_graph_pq
                 return search_graph_pq(
-                    self._graph, qdev, pc, self._pq_codebook, ef=ef,
+                    self._graph, qdev, pc, self._pq_codebook,
+                    self._pq_rot, ef=ef,
                     metric_value=self.config.metric.value,
                     expand_width=self.search_expand_width,
                     visited_slots=vs)
@@ -569,32 +581,31 @@ class HnswIndex:
         stays usable as the corpus grows (codes are re-derived per packing
         pass), and compact()/build() reset it with everything else."""
         if self._pq_codebook is None:
-            from .ops.pq import train_pq
+            from .ops.pq import train_opq, train_pq
 
             n = max(self.n_nodes, 1)
             stride = max(1, n // self.pq_train_sample)
             sample = jnp.asarray(self._graph.vectors[:n:stride],
                                  jnp.float32)
-            self._pq_codebook = train_pq(sample, groups=self.pq_groups,
-                                         iters=self.pq_train_iters)
+            if self.pq_opq:
+                self._pq_rot, self._pq_codebook = train_opq(
+                    sample, groups=self.pq_groups,
+                    pq_iters=self.pq_train_iters)
+            else:
+                self._pq_codebook = train_pq(sample, groups=self.pq_groups,
+                                             iters=self.pq_train_iters)
         return self._pq_codebook
-
-    @staticmethod
-    @jax.jit
-    def _pack_records_gather(codes, links):
-        safe = jnp.maximum(links, 0)
-        return codes[safe]                           # [cap, maxM, G]
 
     def _ensure_packed(self):
         if self._pcodes is None:
             if self.packed_dtype == "pq":
-                from .ops.pq import pq_encode
+                from .ops.pq import pack_pq_records, pq_encode
 
                 cb = self._ensure_pq_codebook()
-                codes = pq_encode(
-                    jnp.asarray(self._graph.vectors, jnp.float32), cb)
-                self._pcodes = self._pack_records_gather(
-                    codes, self._graph.links)
+                # rotation (OPQ) fuses into the chunked encode; records are
+                # FLAT u8[cap, maxM*G] (128-lane aligned — see ops/pq.py)
+                codes = pq_encode(self._graph.vectors, cb, self._pq_rot)
+                self._pcodes = pack_pq_records(codes, self._graph.links)
                 self._pscales = None
             elif self.packed_dtype == "int8":
                 qv, qs = self._ensure_quantized()
@@ -876,7 +887,8 @@ class HnswIndex:
                           quantized_traversal=self.quantized_traversal,
                           packed_traversal=self.packed_traversal,
                           packed_dtype=self.packed_dtype,
-                          pq_groups=self.pq_groups)
+                          pq_groups=self.pq_groups,
+                          pq_opq=self.pq_opq)
         if len(vecs):
             fresh.build(vecs, labels)
         return fresh

@@ -81,7 +81,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                 metric_value: int, cand_cap: int,
                 expand_width: int = 1, qvectors=None, qscale=None,
                 pcodes=None, pscales=None, pq_codebook=None,
-                visited_slots: int = -1):
+                query_t=None, visited_slots: int = -1):
     """searchBaseLayer for a single query. Returns (res_d[ef], res_i[ef],
     hops, dist_evals); results ascending, -1/inf padded.
 
@@ -113,6 +113,13 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     at G=16).  Decoding is a register-level codebook gather (the TPU ADC —
     see ops/pq.py) feeding the same dense distance; the exact rerank below
     restores full-precision ordering of the surfaced ef.
+
+    ``query_t`` (optional) replaces the query for TRAVERSAL distances only
+    — the OPQ hook (ops/pq.train_opq): with rotated codebooks the decoded
+    rows live in the rotated space, so the walk compares them against
+    q @ R while the entry distance and the exact rerank keep the original
+    query against the original f32 rows (rotation-invariant metrics make
+    both spaces approximate the same true distances).
 
     Visited set: ``visited_slots == -1`` (the default used by the API) is
     the DENSE-DEDUPE mode — no visited memory at all.  The reference's
@@ -148,6 +155,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     n_words = cap // 32
     t = expand_width
     tm = t * max_m
+    qt = query if query_t is None else query_t
     use_dense = visited_slots < 0
     use_hash = visited_slots > 0
     if use_hash:
@@ -292,7 +300,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
                      qscale[safe_nbrs][:, None])
         else:
             nvecs = graph.vectors[safe_nbrs]             # [T*maxM, D]
-        dists = dist_one_to_many(query, nvecs, metric_value)
+        dists = dist_one_to_many(qt, nvecs, metric_value)
         evals = evals + jnp.sum(process.astype(jnp.int32))
 
         # gating rule (hnswalg.cpp:99): admit if better than worst kept or
@@ -399,22 +407,34 @@ def search_graph_packed(graph: GraphState, queries: jax.Array,
                    static_argnames=("ef", "metric_value", "cand_cap",
                                     "expand_width", "visited_slots"))
 def search_graph_pq(graph: GraphState, queries: jax.Array,
-                    pcodes: jax.Array, codebook: jax.Array, *,
+                    pcodes: jax.Array, codebook: jax.Array,
+                    rotation: jax.Array | None = None, *,
                     ef: int, metric_value: int,
                     cand_cap: int | None = None, expand_width: int = 1,
                     visited_slots: int = -1
                     ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer over packed PQ neighbor records + exact
     rerank (see _search_one). pcodes: uint8[cap, maxM, G] (node i's row j =
-    the PQ code of links[i, j]); codebook: f32[G, 256, D/G] (ops/pq.py)."""
+    the PQ code of links[i, j]); codebook: f32[G, 256, D/G] (ops/pq.py);
+    ``rotation`` (optional f32[D, D], OPQ): codes live in the rotated
+    space, so traversal compares against q @ R (see _search_one
+    ``query_t``)."""
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,
                            cand_cap=cand_cap, expand_width=expand_width,
                            visited_slots=visited_slots)
-    res_d, res_i, hops, evals = jax.vmap(
-        lambda g, q, pc, cb: fn(g, q, pcodes=pc, pq_codebook=cb),
-        in_axes=(None, 0, None, None))(graph, queries, pcodes, codebook)
+    qt = None if rotation is None else queries.astype(jnp.float32) @ rotation
+    if rotation is None:
+        res_d, res_i, hops, evals = jax.vmap(
+            lambda g, q, pc, cb: fn(g, q, pcodes=pc, pq_codebook=cb),
+            in_axes=(None, 0, None, None))(graph, queries, pcodes, codebook)
+    else:
+        res_d, res_i, hops, evals = jax.vmap(
+            lambda g, q, qq, pc, cb: fn(g, q, pcodes=pc, pq_codebook=cb,
+                                        query_t=qq),
+            in_axes=(None, 0, 0, None, None))(graph, queries, qt, pcodes,
+                                              codebook)
     return res_d, res_i, SearchStats(hops=hops, dist_evals=evals)
 
 

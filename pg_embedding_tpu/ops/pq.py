@@ -102,26 +102,96 @@ def encode_block(vectors: jax.Array, codebook: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def pq_encode(vectors: jax.Array, codebook: jax.Array, *,
+def pq_encode(vectors: jax.Array, codebook: jax.Array,
+              rotation: jax.Array | None = None, *,
               chunk: int = 32768) -> jax.Array:
     """Chunked full-corpus encode: f32[N, D] -> uint8[N, G].  The [n, 256]
-    score tile is the ephemeral cost; chunking bounds it regardless of N."""
+    score tile is the ephemeral cost; chunking bounds it regardless of N.
+    ``rotation`` (OPQ) is applied per chunk, fused into the encode — no
+    corpus-sized rotated copy ever materializes."""
     n = vectors.shape[0]
     groups = codebook.shape[0]
     if n <= chunk:
-        return encode_block(vectors, codebook)
+        x = vectors if rotation is None else (
+            vectors.astype(jnp.float32) @ rotation)
+        return encode_block(x, codebook)
     codes = jnp.zeros((n, groups), jnp.uint8)
     n_chunks = -(-n // chunk)
 
     def body(c, codes):
         start = jnp.minimum(c * chunk, n - chunk)
         block = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
+        if rotation is not None:
+            block = block.astype(jnp.float32) @ rotation
         # overlapping rows from the clamped last chunk re-encode
         # identically, so the overwrite is a no-op
         return jax.lax.dynamic_update_slice(
             codes, encode_block(block, codebook), (start, 0))
 
     return jax.lax.fori_loop(0, n_chunks, body, codes)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pack_pq_records(codes: jax.Array, links: jax.Array, *,
+                    chunk: int = 65536) -> jax.Array:
+    """Gather neighbor codes into FLAT packed records:
+    uint8[cap, maxM * G], where row i's bytes [j*G:(j+1)*G] are the code of
+    links[i, j].
+
+    Flat, not [cap, maxM, G]: TPU arrays tile the minor dim to 128 lanes,
+    so a G=16 minor dim would pad the records 8x in HBM (the 10M x 128d
+    records ballooned from 5.1GB to 20.5GB and OOM'd — measured).  maxM*G
+    is 128-aligned for every sane config, and the traversal reshapes the
+    gathered [T, maxM*G] block back to [T*maxM, G] in registers
+    (core/search._search_one handles both layouts identically).  Chunked
+    over rows so the padded [chunk, maxM, G] gather intermediate stays
+    bounded regardless of capacity."""
+    cap, max_m = links.shape
+    groups = codes.shape[1]
+    chunk = min(chunk, cap)
+    out = jnp.zeros((cap, max_m * groups), jnp.uint8)
+    n_chunks = -(-cap // chunk)
+
+    def body(c, out):
+        start = jnp.minimum(c * chunk, cap - chunk)
+        blk = jax.lax.dynamic_slice_in_dim(links, start, chunk, axis=0)
+        rec = codes[jnp.maximum(blk, 0)].reshape(chunk, max_m * groups)
+        return jax.lax.dynamic_update_slice(out, rec, (start, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "iters", "pq_iters"))
+def train_opq(sample: jax.Array, *, groups: int, iters: int = 8,
+              pq_iters: int = 12, seed: int = 0):
+    """OPQ-NP (Ge et al., CVPR'13): learn an orthogonal rotation R that
+    redistributes variance/correlation across the dim groups before PQ —
+    alternating (1) k-means in the rotated space with (2) the Procrustes
+    solve min_R ||X R - decode(encode(X R))||_F over orthogonal R.
+
+    Distances are rotation-invariant for L2/dot/cosine, so serving rotates
+    the QUERY once (q @ R) and compares against decoded rows that already
+    live in the rotated space; the exact rerank still runs in the original
+    space (core/search._search_one).  Manhattan is NOT rotation-invariant
+    — callers must not enable OPQ for it (api.py guards).
+
+    Returns (rotation f32[D, D], codebook f32[G, 256, D/G]).
+    """
+    x = sample.astype(jnp.float32)
+    d = x.shape[1]
+    rot = jnp.eye(d, dtype=jnp.float32)
+
+    def step(it, rot):
+        y = x @ rot
+        cb = train_pq(y, groups=groups, iters=4, seed=seed)
+        yhat = pq_decode(encode_block(y, cb), cb)
+        # Procrustes: argmin_R ||X R - Yhat||_F = U V^T, svd(X^T Yhat)
+        u, _, vt = jnp.linalg.svd(x.T @ yhat, full_matrices=False)
+        return u @ vt
+
+    rot = jax.lax.fori_loop(0, iters, step, rot)
+    cb = train_pq(x @ rot, groups=groups, iters=pq_iters, seed=seed)
+    return rot, cb
 
 
 def pq_decode(codes: jax.Array, codebook: jax.Array,

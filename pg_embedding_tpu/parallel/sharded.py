@@ -73,7 +73,8 @@ class ShardedHnswIndex:
                  quantized_traversal: bool = False,
                  packed_traversal: bool = False,
                  packed_dtype: str = "int8",
-                 pq_groups: int = 16) -> None:
+                 pq_groups: int = 16,
+                 pq_opq: bool = False) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
         # beam expansion width for CONSTRUCTION searches (see api.HnswIndex)
@@ -128,6 +129,14 @@ class ShardedHnswIndex:
                 f"dims {config.dims} not divisible by pq_groups {pq_groups}")
         self.packed_dtype = packed_dtype
         self.pq_groups = int(pq_groups)
+        # OPQ rotation before PQ (see api.HnswIndex; L2/cosine only)
+        from ..config import Metric
+        if pq_opq and config.metric == Metric.MANHATTAN:
+            raise ValueError(
+                "pq_opq requires a rotation-invariant metric (l2/cosine); "
+                "manhattan distances change under rotation")
+        self.pq_opq = bool(pq_opq)
+        self._pq_rot = None
         self.pq_train_sample = 131_072
         self.pq_train_iters = 12
         self._pq_codebook = None
@@ -514,7 +523,7 @@ class ShardedHnswIndex:
         (see api.HnswIndex._ensure_pq_codebook; one dictionary for the
         whole mesh so merged candidates compress consistently)."""
         if self._pq_codebook is None:
-            from ..ops.pq import train_pq
+            from ..ops.pq import train_opq, train_pq
 
             counts = self.shard_counts
             per = max(1, self.pq_train_sample // max(self.n_shards, 1))
@@ -527,38 +536,53 @@ class ShardedHnswIndex:
                                            np.float32))
             sample = (np.concatenate(rows) if rows
                       else np.zeros((1, self.config.dims), np.float32))
-            self._pq_codebook = train_pq(jnp.asarray(sample),
-                                         groups=self.pq_groups,
-                                         iters=self.pq_train_iters)
+            if self.pq_opq:
+                self._pq_rot, self._pq_codebook = train_opq(
+                    jnp.asarray(sample), groups=self.pq_groups,
+                    pq_iters=self.pq_train_iters)
+            else:
+                self._pq_codebook = train_pq(jnp.asarray(sample),
+                                             groups=self.pq_groups,
+                                             iters=self.pq_train_iters)
         return self._pq_codebook
 
     def _pack_step_pq(self):
-        """Shard-mapped builder for packed PQ neighbor records: encode the
-        local rows against the REPLICATED global codebook, then one gather
+        """Shard-mapped builder for packed PQ neighbor records: rotate
+        (identity when OPQ is off — bit-exact no-op) and encode the local
+        rows against the REPLICATED global codebook, then one gather
         co-locates every node's neighbors' codes (cf. _pack_step)."""
         key = ("packpq", self.capacity_per_shard, self.pq_groups)
         if key in self._step_cache:
             return self._step_cache[key]
-        from ..ops.pq import pq_encode
+        from ..ops.pq import pack_pq_records, pq_encode
 
-        def pack(arrays, codebook):
+        def pack(arrays, codebook, rot):
             g = _local(arrays)
-            codes = pq_encode(g.vectors.astype(jnp.float32), codebook)
-            safe = jnp.maximum(g.links, 0)
-            return codes[safe][None]                 # [1, cap, maxM, G]
+            codes = pq_encode(g.vectors, codebook, rot)
+            # FLAT u8[cap, maxM*G] records (128-lane aligned; ops/pq.py)
+            return pack_pq_records(codes, g.links)[None]
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(pack, mesh=self.mesh,
-                                   in_specs=(spec, P()),
+                                   in_specs=(spec, P(), P()),
                                    out_specs=P(AXIS), check_vma=False))
         self._step_cache[key] = fn
         return fn
+
+    def _pq_rotation(self):
+        """The OPQ rotation, or the identity (matmul with I is bit-exact,
+        so one compiled program serves both modes)."""
+        if self._pq_rot is not None:
+            return self._pq_rot
+        return jnp.eye(self.config.dims, dtype=jnp.float32)
 
     def _ensure_packed(self):
         if self._packed is None:
             if self.packed_dtype == "pq":
                 cb = self._ensure_pq_codebook()
-                self._packed = (self._pack_step_pq()(self._arrays, cb), cb)
+                rot = self._pq_rotation()
+                self._packed = (
+                    self._pack_step_pq()(self._arrays, cb, rot), cb, rot)
             else:
                 self._packed = self._pack_step()(self._arrays)
         return self._packed
@@ -610,8 +634,9 @@ class ShardedHnswIndex:
     def _search_step(self, ef: int, k_total: int, variant: str = "plain"):
         """Shard-mapped search + ICI all-gather + global top-k merge.
         ``variant``: "plain" f32 row gathers / "packed" contiguous int8
-        neighbor records / "quant" int8 row gathers — all with exact
-        rerank (see core/search._search_one)."""
+        neighbor records / "pq" product-quantized records against the
+        replicated global codebook (+ OPQ rotation) / "quant" int8 row
+        gathers — all with exact rerank (see core/search._search_one)."""
         key = ("search", ef, k_total, self.capacity_per_shard,
                self.search_expand_width, variant)
         if key in self._step_cache:
@@ -619,7 +644,7 @@ class ShardedHnswIndex:
         cfg = self.config
         cap = self.capacity_per_shard
 
-        def step(arrays, queries, excluded, aux_a, aux_b):
+        def step(arrays, queries, excluded, *aux):
             g = _local(arrays)
             g = g._replace(deleted=g.deleted | excluded[0])
             q = queries  # replicated: [B, D]
@@ -628,18 +653,24 @@ class ShardedHnswIndex:
                                    cand_cap=ef,
                                    expand_width=self.search_expand_width)
             if variant == "pq":
-                # aux_b is the REPLICATED global codebook (not per-shard)
+                # codebook + rotation are REPLICATED (not per-shard); the
+                # traversal compares decoded rotated rows against q @ R
+                # (identity when OPQ is off — see _pq_rotation)
+                pc, cb, rot = aux
+                qts = q.astype(jnp.float32) @ rot          # [B, D]
                 d, i, hops, evals = jax.vmap(
-                    lambda gg, qq, pc, cb: fn(gg, qq, pcodes=pc,
-                                              pq_codebook=cb),
-                    in_axes=(None, 0, None, None))(g, q, aux_a[0], aux_b)
+                    lambda gg, qq, qt, pc_, cb_: fn(
+                        gg, qq, pcodes=pc_, pq_codebook=cb_, query_t=qt),
+                    in_axes=(None, 0, 0, None, None))(g, q, qts, pc[0], cb)
             elif variant == "packed":
+                aux_a, aux_b = aux
                 d, i, hops, evals = jax.vmap(
                     lambda gg, qq, pc, ps: fn(gg, qq, pcodes=pc,
                                               pscales=ps),
                     in_axes=(None, 0, None, None))(g, q, aux_a[0],
                                                    aux_b[0])
             elif variant == "quant":
+                aux_a, aux_b = aux
                 d, i, hops, evals = jax.vmap(
                     lambda gg, qq, qv, qs: fn(gg, qq, qvectors=qv,
                                               qscale=qs),
@@ -678,21 +709,16 @@ class ShardedHnswIndex:
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         if variant == "pq":
-            fn = jax.jit(jax.shard_map(
-                step, mesh=self.mesh,
-                in_specs=(spec, P(), P(AXIS), P(AXIS), P()),
-                out_specs=(P(), P(), P()), check_vma=False))
+            # records per-shard; codebook + rotation replicated
+            aux_specs = (P(AXIS), P(), P())
         elif variant != "plain":
-            fn = jax.jit(jax.shard_map(
-                step, mesh=self.mesh,
-                in_specs=(spec, P(), P(AXIS), P(AXIS), P(AXIS)),
-                out_specs=(P(), P(), P()), check_vma=False))
+            aux_specs = (P(AXIS), P(AXIS))
         else:
-            plain = functools.partial(step, aux_a=None, aux_b=None)
-            fn = jax.jit(jax.shard_map(
-                plain, mesh=self.mesh,
-                in_specs=(spec, P(), P(AXIS)),
-                out_specs=(P(), P(), P()), check_vma=False))
+            aux_specs = ()
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P(), P(AXIS)) + aux_specs,
+            out_specs=(P(), P(), P()), check_vma=False))
         self._step_cache[key] = fn
         return fn
 
@@ -946,7 +972,8 @@ class ShardedHnswIndex:
             quantized_traversal=self.quantized_traversal,
             packed_traversal=self.packed_traversal,
             packed_dtype=self.packed_dtype,
-            pq_groups=self.pq_groups)
+            pq_groups=self.pq_groups,
+            pq_opq=self.pq_opq)
         if sum(len(v) for v in vecs):
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
         return fresh

@@ -102,9 +102,11 @@ def test_pq_packed_traversal_recall(corpus):
                     packed_dtype="pq", pq_groups=8)
     idx.build(pts)
     assert _recall(idx, qs) >= 0.9
-    # records are D/G-fold smaller than int8 records
+    # records are D/G-fold smaller than int8 records, stored FLAT
+    # (uint8[cap, maxM*G]) so the TPU's 128-lane minor-dim tiling doesn't
+    # pad them 8x in HBM (ops/pq.pack_pq_records)
     assert idx._pcodes.shape == (idx._graph.capacity,
-                                 idx.config.max_m, 8)
+                                 idx.config.max_m * 8)
     assert idx._pcodes.dtype == jnp.uint8
 
 
@@ -160,11 +162,62 @@ def test_sharded_pq_packed_traversal(corpus):
     idx.build(pts, np.arange(len(pts)))
     assert idx._traversal_variant() == "pq"
     assert _recall(idx, qs) >= 0.9
-    pcodes, cb = idx._ensure_packed()
+    pcodes, cb, rot = idx._ensure_packed()
     assert pcodes.shape[0] == idx.n_shards
-    assert pcodes.shape[-1] == 8
-    # one GLOBAL codebook, replicated — not per-shard
+    assert pcodes.shape[-1] == idx.config.max_m * 8   # flat records
+    # one GLOBAL codebook, replicated — not per-shard; identity rotation
+    # when OPQ is off
     assert np.asarray(cb).shape == (8, 256, 4)
+    np.testing.assert_array_equal(np.asarray(rot), np.eye(32))
+
+
+def test_opq_improves_reconstruction_on_correlated_dims(rng):
+    """OPQ's rotation redistributes correlated variance across groups —
+    on anisotropic data it must beat plain PQ's reconstruction."""
+    from pg_embedding_tpu.ops.pq import train_opq
+
+    # heavily correlated dims: random low-rank mix of a few factors
+    z = rng.normal(size=(4000, 6)).astype(np.float32)
+    mix = rng.normal(size=(6, 32)).astype(np.float32)
+    x = (z @ mix + 0.05 * rng.normal(size=(4000, 32))).astype(np.float32)
+    xd = jnp.asarray(x)
+    cb = train_pq(xd, groups=8, iters=10)
+    rec = np.asarray(pq_decode(pq_encode(xd, cb), cb))
+    err_pq = np.mean(np.sum((rec - x) ** 2, axis=1))
+    rot, cb_o = train_opq(xd, groups=8, iters=6, pq_iters=10)
+    rec_o = np.asarray(pq_decode(pq_encode(xd, cb_o, rot), cb_o))
+    err_opq = np.mean(np.sum((rec_o @ np.asarray(rot).T - x) ** 2, axis=1))
+    assert err_opq < err_pq
+    # R orthogonal: R R^T = I
+    r = np.asarray(rot)
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
+
+
+def test_opq_packed_traversal_both_tiers(corpus):
+    pts, qs = corpus
+    idx = HnswIndex(_cfg(ef_search=64), packed_traversal=True,
+                    packed_dtype="pq", pq_groups=8, pq_opq=True)
+    idx.build(pts)
+    assert _recall(idx, qs) >= 0.9
+    assert idx._pq_rot is not None
+    sh = ShardedHnswIndex(_cfg(ef_search=64), packed_traversal=True,
+                          packed_dtype="pq", pq_groups=8, pq_opq=True)
+    sh.build(pts, np.arange(len(pts)))
+    assert _recall(sh, qs) >= 0.9
+    _, _, rot = sh._ensure_packed()
+    assert not np.allclose(np.asarray(rot), np.eye(32))  # a real rotation
+
+
+def test_opq_rejects_manhattan():
+    from pg_embedding_tpu.config import Metric
+
+    with pytest.raises(ValueError):
+        HnswIndex(_cfg(metric=Metric.MANHATTAN), packed_traversal=True,
+                  packed_dtype="pq", pq_groups=8, pq_opq=True)
+    with pytest.raises(ValueError):
+        ShardedHnswIndex(_cfg(metric=Metric.MANHATTAN),
+                         packed_traversal=True, packed_dtype="pq",
+                         pq_groups=8, pq_opq=True)
 
 
 def test_sharded_pq_agrees_with_plain(corpus):
