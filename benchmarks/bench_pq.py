@@ -112,17 +112,20 @@ def main():
     idx.packed_dtype = "pq"
     idx.pq_groups = GROUPS
     t0 = time.time()
-    pc, _ = idx._ensure_packed()
-    np.asarray(pc[0, 0, 0])
+    pc, _ = idx._ensure_packed()          # FLAT u8[cap, maxM*G]
+    np.asarray(pc[0, 0])
     log(f"pq pack (train+encode+gather): {time.time() - t0:.1f}s; "
         f"records {pc.nbytes / 1e9:.2f} GB")
     cb = idx._pq_codebook
+    rot = idx._pq_rot
     for t in (4, 8):
         serve(lambda q, t=t: search_graph_pq(
-            idx.graph, q, pc, cb, ef=ef, metric_value=mv, expand_width=t),
+            idx.graph, q, pc, cb, rot, ef=ef, metric_value=mv,
+            expand_width=t),
             qdev, f"pq packed T={t} ef={ef}", oracle, out, f"pq_t{t}")
     serve(lambda q: search_graph_pq(
-        idx.graph, q, pc, cb, ef=2 * ef, metric_value=mv, expand_width=8),
+        idx.graph, q, pc, cb, rot, ef=2 * ef, metric_value=mv,
+        expand_width=8),
         qdev, f"pq packed T=8 ef={2 * ef}", oracle, out, "pq_t8_ef128")
     idx._pcodes = None
     pc = None
