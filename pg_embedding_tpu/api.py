@@ -227,6 +227,7 @@ class HnswIndex:
         self._qscale = None
         self._pcodes = None
         self._pscales = None
+        self._pq_codes = None           # u8[cap, G] per-ROW codes (sweep_pq)
         # visited-set structure (core/search.py): "dense" (default) needs
         # NO visited memory — dedupe is all-lanes compares against the
         # queues plus the monotone admit gate; results are identical to the
@@ -423,6 +424,7 @@ class HnswIndex:
             self._qvec_rows = 0
         self._pcodes = None
         self._pscales = None
+        self._pq_codes = None
         return np.arange(base, base + n, dtype=np.int64)
 
     def _run_exact8_slab(self, dev_slab, rows: int, batch: int,
@@ -463,6 +465,7 @@ class HnswIndex:
         self._qvec_rows = 0
         self._pq_codebook = None
         self._pq_rot = None
+        self._pq_codes = None
         self.add(vectors, labels)
 
     # ------------------------------------------------------------------ #
@@ -596,15 +599,26 @@ class HnswIndex:
                                              iters=self.pq_train_iters)
         return self._pq_codebook
 
+    def _ensure_pq_codes(self):
+        """Per-ROW PQ codes u8[cap, G] — the compressed corpus image shared
+        by the sweep_pq engine and (as the gather source) pq packed records.
+        Invalidated with the other shadows on insert/build/compact."""
+        if self._pq_codes is None:
+            from .ops.pq import pq_encode
+
+            cb = self._ensure_pq_codebook()
+            # rotation (OPQ) fuses into the chunked encode
+            self._pq_codes = pq_encode(self._graph.vectors, cb, self._pq_rot)
+        return self._pq_codes
+
     def _ensure_packed(self):
         if self._pcodes is None:
             if self.packed_dtype == "pq":
-                from .ops.pq import pack_pq_records, pq_encode
+                from .ops.pq import pack_pq_records
 
-                cb = self._ensure_pq_codebook()
-                # rotation (OPQ) fuses into the chunked encode; records are
-                # FLAT u8[cap, maxM*G] (128-lane aligned — see ops/pq.py)
-                codes = pq_encode(self._graph.vectors, cb, self._pq_rot)
+                codes = self._ensure_pq_codes()
+                # records are FLAT u8[cap, maxM*G] (128-lane aligned — see
+                # ops/pq.py)
                 self._pcodes = pack_pq_records(codes, self._graph.links)
                 self._pscales = None
             elif self.packed_dtype == "int8":
@@ -675,8 +689,11 @@ class HnswIndex:
         (embedding.c:338-341).
 
         ``mode``: "graph" forces the NSW beam search, "exact" forces the
-        brute-force MXU sweep (recall 1.0), "auto" (default) routes by the
-        cost model in ``_use_exact`` — the planner analog.
+        brute-force MXU sweep (recall 1.0), "sweep_pq" the compressed
+        brute-force sweep (ADC over PQ codes + exact rerank — sequential
+        like "exact" but streaming G bytes/row instead of 4*D;
+        see pq_sweep_search), "auto" (default) routes between graph and
+        exact by the cost model in ``_use_exact`` — the planner analog.
 
         ``where``: optional filter (predicate pushdown) — a bool mask over
         node ids (True = allowed) or an array of allowed labels. Filtered
@@ -688,9 +705,12 @@ class HnswIndex:
         """
         queries = self._check_dims(queries)
         b = queries.shape[0]
-        if mode not in ("auto", "graph", "exact"):
+        if mode not in ("auto", "graph", "exact", "sweep_pq"):
             raise ValueError(f"unknown search mode: {mode!r}")
         excluded = self._filter_to_excluded(where)
+        if mode == "sweep_pq":
+            self.counters["n_searches"] += b
+            return self.pq_sweep_search(queries, k, excluded=excluded)
         if mode == "exact" or (mode == "auto" and self._use_exact(b)):
             self.counters["n_searches"] += b
             self.counters["n_exact_routed"] = (
@@ -788,6 +808,42 @@ class HnswIndex:
             d, i = _bruteforce(jnp.asarray(queries), self._graph.vectors, k,
                                self.config.metric, n_valid=n,
                                deleted=dead)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        valid = i >= 0
+        labels = np.where(valid, self._labels[np.maximum(i, 0)], 0)
+        return d, labels.astype(np.uint64), valid
+
+    def pq_sweep_search(self, queries, k: int, pool: Optional[int] = None,
+                        excluded=None
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Compressed brute-force k-NN: one sequential ADC sweep over the
+        corpus' PQ codes (G bytes/row instead of the exact sweep's 4*D),
+        exact-f32 rerank of the coarse top-``pool`` (ops/pq_sweep.py).
+
+        Approximate — PQ distortion can drop a true neighbor from the
+        coarse pool — but returned distances are reference-exact, and
+        ``pool`` prices recall directly.  The engine for the regime where
+        the exact sweep is corpus-bandwidth-bound (multi-million rows) yet
+        graph memory/quality is unattractive; no graph required (codes come
+        from the stored vectors, so this also serves un-linked corpora).
+
+        ``pool`` is bucketed to a power of two (compile reuse, same rule as
+        ef).  Returns (dists, labels, valid) like search()/exact_search().
+        """
+        from .ops.pq_sweep import pq_sweep_search as _pq_sweep
+
+        queries = self._check_dims(queries)
+        codes = self._ensure_pq_codes()
+        dead = (self._graph.deleted if excluded is None
+                else self._graph.deleted | excluded)
+        if pool is None:
+            pool = min(max(4 * k, k + 28), 256)
+        pool = 1 << (max(int(pool), int(k)) - 1).bit_length()
+        d, i = _pq_sweep(jnp.asarray(queries), codes, self._pq_codebook,
+                         self._pq_rot, self._graph.vectors, k,
+                         self.config.metric, n_valid=self.n_nodes,
+                         deleted=dead, pool=pool)
         d = np.asarray(d)
         i = np.asarray(i)
         valid = i >= 0

@@ -141,6 +141,7 @@ class ShardedHnswIndex:
         self.pq_train_iters = 12
         self._pq_codebook = None
         self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
+        self._pq_codes = None  # u8[S, cap, G] per-ROW codes (sweep_pq)
         # incrementally-maintained int8 row shadow for the exact8 candidate
         # engine (api.HnswIndex._qvec, stacked per shard): valid iff
         # _qvec_counts matches the per-shard counts it describes
@@ -419,6 +420,7 @@ class ShardedHnswIndex:
         # exact8 slab DONATES — drop them before any dispatch
         self._packed = None
         self._quant = None
+        self._pq_codes = None
         if schedule:
             nxt = _upload(*schedule[0])
             for si, (soff, rows, nb) in enumerate(schedule):
@@ -481,6 +483,7 @@ class ShardedHnswIndex:
         self._positions = npos
         self._packed = None
         self._quant = None
+        self._pq_codes = None
         # capacity-shaped shadow: rebuilt at the new capacity by the next
         # exact8 slab (or quantized search)
         self._qvec = None
@@ -759,6 +762,94 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    def _pq_codes_step(self):
+        """Shard-mapped per-ROW PQ encode: u8[S, cap, G] against the
+        replicated global codebook (+ OPQ rotation) — the compressed corpus
+        image the sweep_pq engine streams (ops/pq_sweep.py)."""
+        key = ("pqcodes", self.capacity_per_shard, self.pq_groups)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        from ..ops.pq import pq_encode
+
+        def step(arrays, cb, rot):
+            g = _local(arrays)
+            return pq_encode(g.vectors, cb, rot)[None]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(step, mesh=self.mesh,
+                                   in_specs=(spec, P(), P()),
+                                   out_specs=P(AXIS), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def _ensure_pq_codes(self):
+        if self._pq_codes is None:
+            cb = self._ensure_pq_codebook()
+            self._pq_codes = self._pq_codes_step()(
+                self._arrays, cb, self._pq_rotation())
+        return self._pq_codes
+
+    def _sweep_pq_step(self, k: int, pool: int):
+        """Shard-mapped compressed sweep: per-shard ADC over local PQ codes
+        + exact-f32 rerank on the local rows (ops/pq_sweep.pq_sweep_search
+        — distances are exact BEFORE the merge), all_gather + global top-k.
+        The sharded analog of _exact_step with the code stream replacing
+        the f32 corpus stream."""
+        key = ("sweeppq", k, pool, self.capacity_per_shard, self.pq_groups)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.config
+        cap = self.capacity_per_shard
+        from ..ops.pq_sweep import pq_sweep_search as _sweep
+
+        def step(arrays, queries, excluded, codes, cb, rot):
+            g = _local(arrays)
+            d, i = _sweep(queries, codes[0], cb, rot, g.vectors, k,
+                          cfg.metric, n_valid=g.n_nodes,
+                          deleted=g.deleted | excluded[0], pool=pool)
+            sid = jax.lax.axis_index(AXIS)
+            gid = jnp.where(i >= 0, sid * cap + i, -1)
+            all_d = jax.lax.all_gather(d, AXIS)             # [S, B, k]
+            all_g = jax.lax.all_gather(gid, AXIS)
+            s, b = all_d.shape[0], all_d.shape[1]
+            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
+            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * k)
+            neg, sel = jax.lax.top_k(-flat_d, k)
+            return -neg, jnp.take_along_axis(flat_g, sel, axis=1)
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec, P(), P(AXIS), P(AXIS), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
+    def pq_sweep_search(self, queries, k: int, pool: Optional[int] = None,
+                        where=None
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sharded compressed brute-force k-NN (see
+        api.HnswIndex.pq_sweep_search): every shard streams its own code
+        image, reranks its pool exactly, and the merge keeps the global
+        top-k — approximate via the coarse pool, exact in the returned
+        distances.  ``pool`` is bucketed to a power of two per shard."""
+        queries = self._check_dims(queries)
+        codes = self._ensure_pq_codes()
+        if pool is None:
+            pool = min(max(4 * k, k + 28), 256)
+        pool = 1 << (max(int(pool), int(k)) - 1).bit_length()
+        d, g = self._sweep_pq_step(int(k), pool)(
+            self._arrays, jnp.asarray(queries),
+            self._filter_to_excluded(where), codes,
+            self._ensure_pq_codebook(), self._pq_rotation())
+        d = np.asarray(d)
+        g = np.asarray(g)
+        cap = self.capacity_per_shard
+        valid = (g >= 0) & np.isfinite(d)
+        safe = np.maximum(g, 0)
+        labels = np.where(valid, self._labels[safe // cap, safe % cap], 0)
+        return d, labels.astype(np.uint64), valid
+
     def _filter_to_excluded(self, where):
         """Search filter -> per-shard excluded bool[S, cap] on the mesh
         (sharded predicate pushdown). ``where`` is either an array of
@@ -831,8 +922,11 @@ class ShardedHnswIndex:
         pushdown; filtered rows act like tombstones)."""
         queries = self._check_dims(queries)
         bq = queries.shape[0]
-        if mode not in ("auto", "graph", "exact"):
+        if mode not in ("auto", "graph", "exact", "sweep_pq"):
             raise ValueError(f"unknown search mode: {mode!r}")
+        if mode == "sweep_pq":
+            self.counters["n_searches"] += bq
+            return self.pq_sweep_search(queries, k, where=where)
         if mode == "exact" or (mode == "auto" and self._use_exact(bq)):
             self.counters["n_searches"] += bq
             self.counters["n_exact_routed"] = (
