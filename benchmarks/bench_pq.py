@@ -29,6 +29,8 @@ from pg_embedding_tpu import HnswConfig, HnswIndex  # noqa: E402
 from pg_embedding_tpu.core.search import (  # noqa: E402
     search_graph, search_graph_packed, search_graph_pq)
 from pg_embedding_tpu.ops.pq import pq_encode, train_pq  # noqa: E402
+from pg_embedding_tpu.ops.pq_sweep import (  # noqa: E402
+    pq_sweep_search as sweep)
 
 N = int(os.environ.get("PQ_N", 1_000_000))
 DIMS, M, EFC, K, NQ, REPS = 128, 16, 64, 10, 1024, 4
@@ -129,6 +131,18 @@ def main():
         qdev, f"pq packed T=8 ef={2 * ef}", oracle, out, "pq_t8_ef128")
     idx._pcodes = None
     pc = None
+
+    # compressed brute-force sweep (mode="sweep_pq"): sequential ADC over
+    # the per-row codes (G bytes/row vs the exact sweep's 4*D) + exact
+    # rerank — no graph traversal at all
+    codes = idx._ensure_pq_codes()
+    np.asarray(codes[0, 0])
+    log(f"row codes {codes.nbytes / 1e9:.2f} GB")
+    for pool in (64, 128, 256):
+        serve(lambda q, p=pool: (*sweep(
+            q, codes, cb, rot, idx.graph.vectors, K, cfg.metric,
+            n_valid=idx.n_nodes, deleted=idx.graph.deleted, pool=p), None),
+            qdev, f"pq sweep pool={pool}", oracle, out, f"sweep_p{pool}")
 
     if N < 3_000_000:
         # int8 packed head-to-head (fits below ~2M@128d)
