@@ -45,11 +45,12 @@ _SAVE_FORMAT_VERSION = 1
 
 
 class TuneResult(NamedTuple):
-    """tune_ef_search outcome: the chosen ef, the recall it achieved on the
-    tuning queries, and whether the target was met.  Earlier rounds returned
-    a bare int that was indistinguishable between 'met at ef' and 'gave up
-    at max_ef' (VERDICT r2 weak #7); the achieved recall makes failure
-    visible, and ``strict=True`` turns it into an error."""
+    """tune_ef_search / tune_sweep_pool outcome: the chosen knob value
+    (ef or pool), the recall it achieved on the tuning queries, and whether
+    the target was met.  Earlier rounds returned a bare int that was
+    indistinguishable between 'met at ef' and 'gave up at max_ef' (VERDICT
+    r2 weak #7); the achieved recall makes failure visible, and
+    ``strict=True`` turns it into an error."""
 
     ef: int
     recall: float
@@ -228,6 +229,9 @@ class HnswIndex:
         self._pcodes = None
         self._pscales = None
         self._pq_codes = None           # u8[cap, G] per-ROW codes (sweep_pq)
+        # sweep_pq coarse-pool width: None = per-call heuristic (4k,
+        # capped 256); tune_sweep_pool sets it from a measured target
+        self.pq_sweep_pool: Optional[int] = None
         # visited-set structure (core/search.py): "dense" (default) needs
         # NO visited memory — dedupe is all-lanes compares against the
         # queues plus the monotone admit gate; results are identical to the
@@ -838,7 +842,8 @@ class HnswIndex:
         dead = (self._graph.deleted if excluded is None
                 else self._graph.deleted | excluded)
         if pool is None:
-            pool = min(max(4 * k, k + 28), 256)
+            pool = (self.pq_sweep_pool if self.pq_sweep_pool
+                    else min(max(4 * k, k + 28), 256))
         pool = 1 << (max(int(pool), int(k)) - 1).bit_length()
         d, i = _pq_sweep(jnp.asarray(queries), codes, self._pq_codebook,
                          self._pq_rot, self._graph.vectors, k,
@@ -923,6 +928,39 @@ class HnswIndex:
                 f"recall {achieved:.4f} at ef={best} misses target "
                 f"{target_recall} (max_ef={max_ef})")
         self.set_ef_search(best)
+        return TuneResult(best, achieved, met)
+
+    def tune_sweep_pool(self, queries, target_recall: float = 0.95,
+                        k: int = 10, max_pool: int = 1024,
+                        strict: bool = False) -> TuneResult:
+        """Find (and set) the smallest power-of-two sweep_pq coarse-pool
+        width whose recall@k on ``queries`` meets ``target_recall`` against
+        the exact oracle — the pool analog of tune_ef_search (the pool
+        prices PQ distortion the way ef prices beam width).
+
+        Sets self.pq_sweep_pool and returns TuneResult(pool, recall, met);
+        ``strict=True`` raises TuneTargetMissed on a miss."""
+        queries = self._check_dims(queries)
+        _, ol, ov = self.exact_search(queries, k)
+        pool = 1 << (max(2 * k, 16) - 1).bit_length()
+        best, achieved = pool, 0.0
+        while pool <= max_pool:
+            _, l, v = self.pq_sweep_search(queries, k, pool=pool)
+            recs = []
+            for r in range(queries.shape[0]):
+                want = set(ol[r][ov[r]][:k].tolist())
+                recs.append(len(set(l[r][v[r]].tolist()) & want) /
+                            max(len(want), 1))
+            best, achieved = pool, float(np.mean(recs))
+            if achieved >= target_recall:
+                break
+            pool *= 2
+        met = achieved >= target_recall
+        if strict and not met:
+            raise TuneTargetMissed(
+                f"recall {achieved:.4f} at pool={best} misses target "
+                f"{target_recall} (max_pool={max_pool})")
+        self.pq_sweep_pool = best
         return TuneResult(best, achieved, met)
 
     def compact(self) -> "HnswIndex":
@@ -1058,6 +1096,15 @@ class HnswIndex:
             nxt = self._wal.epoch + 1
             payload["wal_epoch_next"] = np.int64(nxt)
             payload["wal_offset_next"] = np.int64(self._wal.header_len(nxt))
+        if self._pq_codebook is not None:
+            # persist the trained PQ dictionary (~256*D floats) so load()
+            # serves pq-packed/sweep_pq without a retrain, with codes
+            # stable across restarts; codes/records re-derive from it
+            payload["pq_codebook"] = np.asarray(self._pq_codebook,
+                                                np.float32)
+            payload["pq_groups_trained"] = np.int64(self.pq_groups)
+            if self._pq_rot is not None:
+                payload["pq_rot"] = np.asarray(self._pq_rot, np.float32)
         if compressed is None:
             compressed = payload["vectors"].nbytes < (1 << 30)
         _atomic_savez(path, payload, compressed)
@@ -1100,6 +1147,10 @@ class HnswIndex:
             link_counts = z["link_counts"]
             deleted = z["deleted"]
             labels = z["labels"]
+            pq_codebook = z["pq_codebook"] if "pq_codebook" in z else None
+            pq_groups_trained = (int(z["pq_groups_trained"])
+                                 if "pq_groups_trained" in z else None)
+            pq_rot = z["pq_rot"] if "pq_rot" in z else None
 
         n = vectors.shape[0]
         idx = cls(cfg, initial_capacity=max(n, 32),
@@ -1121,6 +1172,12 @@ class HnswIndex:
         idx._labels[:n] = labels
         idx._count = n
         idx.counters["n_inserted"] = n
+        if pq_codebook is not None:
+            idx._pq_codebook = jnp.asarray(pq_codebook)
+            idx.pq_groups = pq_groups_trained
+            if pq_rot is not None:
+                idx._pq_rot = jnp.asarray(pq_rot)
+                idx.pq_opq = True
         if wal is not None:
             idx._replay_wal(wal, wal_offset, wal_epoch, wal_next)
         return idx

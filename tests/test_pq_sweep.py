@@ -189,6 +189,63 @@ def test_sharded_sweep_pq(clustered):
     assert not np.isin(l2[v2], gone).any()
 
 
+def test_codebook_persisted_on_save_load(clustered, tmp_path):
+    pts, qs = clustered
+    idx = HnswIndex(_cfg(), pq_opq=True)
+    idx.build(pts)
+    d1, l1, v1 = idx.search(qs, 10, mode="sweep_pq")  # trains codebook
+    path = str(tmp_path / "idx.npz")
+    idx.save(path)
+    idx2 = HnswIndex.load(path)
+    # no retrain: the stored dictionary (and OPQ rotation) comes back
+    assert idx2._pq_codebook is not None
+    np.testing.assert_array_equal(np.asarray(idx2._pq_codebook),
+                                  np.asarray(idx._pq_codebook))
+    assert idx2.pq_opq and idx2._pq_rot is not None
+    d2, l2, v2 = idx2.search(qs, 10, mode="sweep_pq")
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_sharded_codebook_persisted_on_save_load(clustered, tmp_path):
+    from pg_embedding_tpu import ShardedHnswIndex
+
+    pts, qs = clustered
+    sidx = ShardedHnswIndex(_cfg())
+    sidx.build(pts, np.arange(len(pts)))
+    d1, l1, v1 = sidx.search(qs, 10, mode="sweep_pq")  # trains codebook
+    path = str(tmp_path / "sidx.npz")
+    sidx.save(path)
+    sidx2 = ShardedHnswIndex.load(path)
+    # no retrain: the stored global dictionary comes back and per-shard
+    # codes re-derive from it, so merged results are reproducible
+    assert sidx2._pq_codebook is not None
+    np.testing.assert_array_equal(np.asarray(sidx2._pq_codebook),
+                                  np.asarray(sidx._pq_codebook))
+    d2, l2, v2 = sidx2.search(qs, 10, mode="sweep_pq")
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_tune_sweep_pool(clustered):
+    from pg_embedding_tpu.api import TuneTargetMissed
+
+    pts, qs = clustered
+    idx = HnswIndex(_cfg(), pq_groups=4)   # coarse codes: pool matters
+    idx.build(pts)
+    res = idx.tune_sweep_pool(qs, target_recall=0.9, k=10)
+    assert res.met and res.recall >= 0.9
+    assert idx.pq_sweep_pool == res.ef
+    # the tuned pool is now the mode default
+    _, l, v = idx.search(qs, 10, mode="sweep_pq")
+    _, le, ve = idx.exact_search(qs, 10)
+    assert _recall(l, v, le, ve, 10) >= 0.9
+    # an unreachable target raises under strict
+    with pytest.raises(TuneTargetMissed):
+        idx.tune_sweep_pool(qs, target_recall=1.1, strict=True,
+                            max_pool=64)
+
+
 def test_index_sweep_pq_small_k_gt_n():
     rng = np.random.default_rng(7)
     pts = rng.normal(size=(6, 32)).astype(np.float32)
