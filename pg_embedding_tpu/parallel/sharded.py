@@ -60,6 +60,54 @@ def _stacked(graph: GraphState):
             graph.n_nodes[None])
 
 
+def _topk_merge(all_d, all_g, k):
+    """Reduce gathered per-shard candidate sets [S, B, w] to [B, k]
+    (padded with +inf/-1 when fewer than k gathered candidates exist)."""
+    s, b, w = all_d.shape
+    flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * w)
+    flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * w)
+    kk = min(k, s * w)
+    neg, sel = jax.lax.top_k(-flat_d, kk)
+    d = -neg
+    g = jnp.take_along_axis(flat_g, sel, axis=1)
+    if kk < k:
+        d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        g = jnp.pad(g, ((0, 0), (0, k - kk)), constant_values=-1)
+    return d, g
+
+
+def _gather_merge(d, gid, k, n_shards, dcn_slices=None):
+    """All-gather per-shard candidate sets and reduce to a replicated
+    global top-k — the distributed-communication backend of the index
+    (SURVEY §2/§5 "TPU-native equivalents": XLA collectives over ICI
+    within a slice, DCN across slices).
+
+    Flat mode (``dcn_slices`` None/1, a single-slice mesh): one
+    all_gather over the shard axis + one top-k reduce.
+
+    Hierarchical mode (``dcn_slices`` > 1, a multi-slice mesh whose
+    devices enumerate slice-major — JAX's multi-slice device order): the
+    first gather + top-k reduce runs WITHIN each slice via
+    ``axis_index_groups`` so it rides ICI; only the reduced [B, k] sets
+    cross the slow inter-slice DCN links (k entries per query instead of
+    w * devices_per_slice).  Each device's second gather meets exactly
+    one peer per foreign slice; slice reductions are replicated within
+    their slice, so the merged result is the global top-k, replicated on
+    every device — collectives laid out so the bulk rides ICI, not DCN."""
+    if not dcn_slices or dcn_slices <= 1:
+        return _topk_merge(jax.lax.all_gather(d, AXIS),
+                           jax.lax.all_gather(gid, AXIS), k)
+    per = n_shards // dcn_slices
+    ici = [[s * per + j for j in range(per)] for s in range(dcn_slices)]
+    dcn = [[s * per + j for s in range(dcn_slices)] for j in range(per)]
+    d1, g1 = _topk_merge(
+        jax.lax.all_gather(d, AXIS, axis_index_groups=ici),
+        jax.lax.all_gather(gid, AXIS, axis_index_groups=ici), k)
+    return _topk_merge(
+        jax.lax.all_gather(d1, AXIS, axis_index_groups=dcn),
+        jax.lax.all_gather(g1, AXIS, axis_index_groups=dcn), k)
+
+
 class ShardedHnswIndex:
     """Data-parallel sharded flat-NSW index over a 1-D device mesh."""
 
@@ -74,7 +122,8 @@ class ShardedHnswIndex:
                  packed_traversal: bool = False,
                  packed_dtype: str = "int8",
                  pq_groups: int = 16,
-                 pq_opq: bool = False) -> None:
+                 pq_opq: bool = False,
+                 dcn_slices: Optional[int] = None) -> None:
         self.config = config
         self.search_expand_width = int(search_expand_width)
         # beam expansion width for CONSTRUCTION searches (see api.HnswIndex)
@@ -105,6 +154,16 @@ class ShardedHnswIndex:
         self.exact_threshold_packed = 2_700_000
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
+        # multi-slice topology hint: number of ICI slices the mesh spans
+        # (devices enumerated slice-major).  Merges become hierarchical —
+        # within-slice gather+reduce over ICI, only reduced top-k sets
+        # cross DCN (see _gather_merge).  None/1 = single-slice (flat).
+        if dcn_slices is not None and (
+                dcn_slices < 1 or self.n_shards % dcn_slices):
+            raise ValueError(
+                f"dcn_slices={dcn_slices} must divide the mesh's "
+                f"{self.n_shards} devices")
+        self.dcn_slices = dcn_slices
         self.max_insert_batch = int(max_insert_batch)
         if storage_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown storage_dtype: {storage_dtype!r}")
@@ -641,7 +700,7 @@ class ShardedHnswIndex:
         replicated global codebook (+ OPQ rotation) / "quant" int8 row
         gathers — all with exact rerank (see core/search._search_one)."""
         key = ("search", ef, k_total, self.capacity_per_shard,
-               self.search_expand_width, variant)
+               self.search_expand_width, variant, self.dcn_slices)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
@@ -697,18 +756,11 @@ class ShardedHnswIndex:
             # widen until the index is exhausted, embedding.c:322,338-343)
             found = jnp.sum((i >= 0).astype(jnp.int32), axis=1)  # [B]
 
-            # all-gather candidate sets over ICI, merge to global top-k
-            all_d = jax.lax.all_gather(d, AXIS)      # [S, B, ef]
-            all_g = jax.lax.all_gather(gid, AXIS)    # [S, B, ef]
-            all_f = jax.lax.all_gather(found, AXIS)  # [S, B]
-            s = all_d.shape[0]
-            b = all_d.shape[1]
-            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * ef)
-            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * ef)
-            neg, sel = jax.lax.top_k(-flat_d, k_total)
-            out_d = -neg
-            out_g = jnp.take_along_axis(flat_g, sel, axis=1)
-            return out_d, out_g, jnp.max(all_f, axis=0)
+            # gather candidate sets + global top-k merge (hierarchical on
+            # multi-slice meshes: ICI within a slice, DCN across)
+            out_d, out_g = _gather_merge(d, gid, k_total, self.n_shards,
+                                         self.dcn_slices)
+            return out_d, out_g, jax.lax.pmax(found, AXIS)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         if variant == "pq":
@@ -731,7 +783,7 @@ class ShardedHnswIndex:
         including the L2 over-fetch + exact rerank), all_gather + global
         top-k merge — the sharded seq-scan oracle (and the batched serving
         fast path)."""
-        key = ("exact", k, self.capacity_per_shard)
+        key = ("exact", k, self.capacity_per_shard, self.dcn_slices)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
@@ -746,13 +798,8 @@ class ShardedHnswIndex:
 
             sid = jax.lax.axis_index(AXIS)
             gid = jnp.where(i >= 0, sid * cap + i, -1)
-            all_d = jax.lax.all_gather(d, AXIS)             # [S, B, k]
-            all_g = jax.lax.all_gather(gid, AXIS)
-            s, b = all_d.shape[0], all_d.shape[1]
-            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
-            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * k)
-            neg, sel = jax.lax.top_k(-flat_d, k)
-            return -neg, jnp.take_along_axis(flat_g, sel, axis=1)
+            return _gather_merge(d, gid, k, self.n_shards,
+                                 self.dcn_slices)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
@@ -795,7 +842,8 @@ class ShardedHnswIndex:
         — distances are exact BEFORE the merge), all_gather + global top-k.
         The sharded analog of _exact_step with the code stream replacing
         the f32 corpus stream."""
-        key = ("sweeppq", k, pool, self.capacity_per_shard, self.pq_groups)
+        key = ("sweeppq", k, pool, self.capacity_per_shard,
+               self.pq_groups, self.dcn_slices)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
@@ -809,13 +857,8 @@ class ShardedHnswIndex:
                           deleted=g.deleted | excluded[0], pool=pool)
             sid = jax.lax.axis_index(AXIS)
             gid = jnp.where(i >= 0, sid * cap + i, -1)
-            all_d = jax.lax.all_gather(d, AXIS)             # [S, B, k]
-            all_g = jax.lax.all_gather(gid, AXIS)
-            s, b = all_d.shape[0], all_d.shape[1]
-            flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
-            flat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, s * k)
-            neg, sel = jax.lax.top_k(-flat_d, k)
-            return -neg, jnp.take_along_axis(flat_g, sel, axis=1)
+            return _gather_merge(d, gid, k, self.n_shards,
+                                 self.dcn_slices)
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(
@@ -1144,6 +1187,15 @@ class ShardedHnswIndex:
             manifest["wal_epoch_next"] = np.int64(nxt)
             manifest["wal_offset_next"] = np.int64(
                 self._wal.header_len(nxt))
+        if self._pq_codebook is not None:
+            # persist the trained global PQ dictionary (~256*D floats) so
+            # load() serves pq-packed/sweep_pq without retraining; per-shard
+            # codes/records re-derive from it (see api.HnswIndex.save)
+            manifest["pq_codebook"] = np.asarray(self._pq_codebook,
+                                                 np.float32)
+            manifest["pq_groups_trained"] = np.int64(self.pq_groups)
+            if self._pq_rot is not None:
+                manifest["pq_rot"] = np.asarray(self._pq_rot, np.float32)
         if per_shard:
             for i in range(self.n_shards):
                 n_i = int(self._counts[i])
@@ -1181,12 +1233,15 @@ class ShardedHnswIndex:
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None,
              config: Optional[HnswConfig] = None,
-             wal: Optional[str] = None) -> "ShardedHnswIndex":
+             wal: Optional[str] = None,
+             dcn_slices: Optional[int] = None) -> "ShardedHnswIndex":
         """Restore a sharded index. The mesh must have the same number of
         devices as the saved index had shards (resharding is a rebuild).
         Frozen-field guard as in HnswIndex.load.  Handles both monolithic
         and per-shard-split snapshots; ``wal`` replays the delta-log tail
-        appended after the snapshot (see api.HnswIndex.load)."""
+        appended after the snapshot (see api.HnswIndex.load).
+        ``dcn_slices`` is a serving-mesh topology hint, not index state —
+        pass it when loading onto a multi-slice mesh (see __init__)."""
         import json
 
         from ..api import _npz_path
@@ -1213,6 +1268,10 @@ class ShardedHnswIndex:
                         int(z["wal_offset_next"])) \
                 if "wal_epoch_next" in z else None
             split = bool(int(z["per_shard"])) if "per_shard" in z else False
+            pq_codebook = z["pq_codebook"] if "pq_codebook" in z else None
+            pq_groups_trained = (int(z["pq_groups_trained"])
+                                 if "pq_groups_trained" in z else None)
+            pq_rot = z["pq_rot"] if "pq_rot" in z else None
             if split:
                 vec = lnk = cnt = dlt = lab = pos = None
             else:
@@ -1241,7 +1300,7 @@ class ShardedHnswIndex:
 
         idx = cls(cfg, mesh=mesh,
                   initial_capacity=max(int(counts.max()), 32),
-                  storage_dtype=storage_dtype)
+                  storage_dtype=storage_dtype, dcn_slices=dcn_slices)
         if idx.n_shards != s:
             raise ValueError(
                 f"saved index has {s} shards but the mesh has "
@@ -1272,6 +1331,12 @@ class ShardedHnswIndex:
                     np.arange(counts[i]) * s + i)
         idx._counts = counts.astype(np.int64)
         idx.counters["n_inserted"] = int(counts.sum())
+        if pq_codebook is not None:
+            idx._pq_codebook = jnp.asarray(pq_codebook)
+            idx.pq_groups = pq_groups_trained
+            if pq_rot is not None:
+                idx._pq_rot = jnp.asarray(pq_rot)
+                idx.pq_opq = True
         if wal is not None:
             idx._replay_wal(wal, wal_offset, wal_epoch, wal_next)
         return idx
