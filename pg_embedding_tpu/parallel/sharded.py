@@ -210,9 +210,8 @@ class ShardedHnswIndex:
 
         cap = self._pad_cap(initial_capacity)
         s = self.n_shards
-        shard = NamedSharding(self.mesh, P(AXIS))
         self._arrays = tuple(
-            jax.device_put(a, shard) for a in (
+            self._to_mesh(a) for a in (
                 np.zeros((s, cap, config.dims),
                          jnp.dtype(self.storage_dtype)),
                 np.full((s, cap, config.max_m), -1, np.int32),
@@ -463,8 +462,6 @@ class ShardedHnswIndex:
             schedule.append((off, rows, small))
             off += rows
 
-        shard = NamedSharding(self.mesh, P(AXIS))
-
         def _upload(soff, rows, nb):
             pts = np.zeros((s, nb * b, self.config.dims), np.float32)
             n_val = np.zeros((s,), np.int32)
@@ -472,8 +469,7 @@ class ShardedHnswIndex:
                 take = per_shard[i][soff: soff + nb * b]
                 pts[i, : len(take)] = vectors[take]
                 n_val[i] = len(take)
-            return (jax.device_put(pts, shard),
-                    jax.device_put(n_val, shard))
+            return (self._to_mesh(pts), self._to_mesh(n_val))
 
         # packed/quant serving caches may alias the build shadow, which the
         # exact8 slab DONATES — drop them before any dispatch
@@ -517,23 +513,58 @@ class ShardedHnswIndex:
             self._grow(per)
         self.add(vectors, labels)
 
+    # ------------------------------------------------------------------ #
+    # multi-process (multi-host) array movement
+    # ------------------------------------------------------------------ #
+
+    def _to_host(self, a) -> np.ndarray:
+        """Materialize a device array on THIS host.  On a multi-process
+        mesh (jax.distributed — the real multi-host deployment) per-shard
+        arrays span non-addressable devices, so plain np.asarray raises;
+        process_allgather assembles the global value on every host.
+        NOTE: in multi-process mode this is ALWAYS a collective — every
+        process must call it in the same order (no addressability
+        short-circuit, which would deadlock processes that own the data
+        against processes that don't)."""
+        if jax.process_count() == 1:
+            return np.asarray(a)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+    def _to_mesh(self, a, spec=P(AXIS)):
+        """Place a host array onto the mesh.  Multi-process: every process
+        holds the same full host value (SPMD discipline) and contributes
+        its addressable shards via make_array_from_callback."""
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(a, sh)
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
     def _grow(self, new_cap: int) -> None:
         new_cap = self._pad_cap(max(new_cap, self.capacity_per_shard * 2))
         s = self.n_shards
         old = self.capacity_per_shard
-        cfg = self.config
-        vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
-        nvec = np.zeros((s, new_cap, cfg.dims), vec.dtype)
-        nvec[:, :old] = vec
-        nlnk = np.full((s, new_cap, cfg.max_m), -1, np.int32)
-        nlnk[:, :old] = lnk
-        ncnt = np.zeros((s, new_cap), np.int32)
-        ncnt[:, :old] = cnt
-        ndlt = np.zeros((s, new_cap), bool)
-        ndlt[:, :old] = dlt
+        grow = new_cap - old
         shard = NamedSharding(self.mesh, P(AXIS))
-        self._arrays = tuple(jax.device_put(a, shard)
-                             for a in (nvec, nlnk, ncnt, ndlt, nn))
+
+        # pad ON DEVICE: capacity growth never round-trips the graph
+        # through the host (the old host path both drained the pipeline
+        # and broke multi-process meshes, where per-shard arrays are not
+        # host-addressable); padding is along the capacity axis, so the
+        # shard axis layout is untouched and donation frees old buffers
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                           out_shardings=(shard, shard, shard, shard))
+        def pad(vec, lnk, cnt, dlt):
+            return (jnp.pad(vec, ((0, 0), (0, grow), (0, 0))),
+                    jnp.pad(lnk, ((0, 0), (0, grow), (0, 0)),
+                            constant_values=-1),
+                    jnp.pad(cnt, ((0, 0), (0, grow))),
+                    jnp.pad(dlt, ((0, 0), (0, grow))))
+
+        vec, lnk, cnt, dlt, nn = self._arrays
+        self._arrays = pad(vec, lnk, cnt, dlt) + (nn,)
         nlab = np.zeros((s, new_cap), np.uint64)
         nlab[:, :old] = self._labels
         self._labels = nlab
@@ -594,8 +625,8 @@ class ShardedHnswIndex:
                 n_i = int(counts[i])
                 if n_i:
                     stride = max(1, n_i // per)
-                    rows.append(np.asarray(self._arrays[0][i, :n_i:stride],
-                                           np.float32))
+                    rows.append(self._to_host(
+                        self._arrays[0][i, :n_i:stride]).astype(np.float32))
             sample = (np.concatenate(rows) if rows
                       else np.zeros((1, self.config.dims), np.float32))
             if self.pq_opq:
@@ -919,8 +950,7 @@ class ShardedHnswIndex:
                 for i in range(self.n_shards):
                     excluded[i, : counts[i]] = ~np.isin(
                         self._labels[i, : counts[i]], allowed)
-        return jax.device_put(excluded,
-                              NamedSharding(self.mesh, P(AXIS)))
+        return self._to_mesh(excluded)
 
     def exact_search(self, queries, k: int, where=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1059,7 +1089,7 @@ class ShardedHnswIndex:
 
     def delete(self, labels) -> int:
         labels = np.asarray(labels, np.uint64).reshape(-1)
-        dlt = np.asarray(self._arrays[3]).copy()
+        dlt = self._to_host(self._arrays[3]).copy()
         counts = self.shard_counts
         n_new = 0
         newly: list = []
@@ -1071,9 +1101,8 @@ class ShardedHnswIndex:
             dlt[i, : counts[i]] |= dead
         if n_new and self._wal is not None and not self._wal_replaying:
             self._wal.log_delete(np.concatenate(newly))
-        shard = NamedSharding(self.mesh, P(AXIS))
         arrays = list(self._arrays)
-        arrays[3] = jax.device_put(dlt, shard)
+        arrays[3] = self._to_mesh(dlt)
         self._arrays = tuple(arrays)
         self.counters["n_deleted"] += n_new
         return n_new
@@ -1081,7 +1110,7 @@ class ShardedHnswIndex:
     def vacuum(self) -> Dict[str, int]:
         n = self.n_nodes
         counts = self.shard_counts
-        dlt = np.asarray(self._arrays[3])
+        dlt = self._to_host(self._arrays[3])
         dead = int(sum(dlt[i, : counts[i]].sum()
                        for i in range(self.n_shards)))
         return {"num_nodes": n, "num_live": n - dead, "num_dead": dead,
@@ -1092,8 +1121,8 @@ class ShardedHnswIndex:
         """Rebuild over live vectors only (see api.HnswIndex.compact).
         Returns a NEW sharded index on the same mesh."""
         counts = self.shard_counts
-        vec = np.asarray(self._arrays[0], np.float32)
-        dlt = np.asarray(self._arrays[3])
+        vec = self._to_host(self._arrays[0]).astype(np.float32)
+        dlt = self._to_host(self._arrays[3])
         vecs, labels = [], []
         for i in range(self.n_shards):
             alive = ~dlt[i, : counts[i]]
@@ -1110,7 +1139,8 @@ class ShardedHnswIndex:
             packed_traversal=self.packed_traversal,
             packed_dtype=self.packed_dtype,
             pq_groups=self.pq_groups,
-            pq_opq=self.pq_opq)
+            pq_opq=self.pq_opq,
+            dcn_slices=self.dcn_slices)
         if sum(len(v) for v in vecs):
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
         return fresh
@@ -1118,8 +1148,8 @@ class ShardedHnswIndex:
     def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
         """Per-shard graph invariant validation (see api.HnswIndex)."""
         counts = self.shard_counts
-        links = np.asarray(self._arrays[1])
-        cnts = np.asarray(self._arrays[2])
+        links = self._to_host(self._arrays[1])
+        cnts = self._to_host(self._arrays[2])
         viol = {"count_over_maxm": 0, "self_links": 0, "bad_ids": 0,
                 "dup_links": 0, "pad_violations": 0}
         slot = np.arange(self.config.max_m)[None, :]
@@ -1196,26 +1226,38 @@ class ShardedHnswIndex:
             manifest["pq_groups_trained"] = np.int64(self.pq_groups)
             if self._pq_rot is not None:
                 manifest["pq_rot"] = np.asarray(self._pq_rot, np.float32)
+        # multi-process discipline: the _to_host fetches below are
+        # collectives every process must execute, but each FILE has one
+        # writer — per-shard files go to the process whose devices own the
+        # shard (so shard files land on that shard's host), the manifest /
+        # monolithic payload to process 0
+        mp = jax.process_count() > 1
+        devs = list(self.mesh.devices.flat)
         if per_shard:
             for i in range(self.n_shards):
                 n_i = int(self._counts[i])
                 # one shard at a time device->host (bf16 upcasts to f32)
                 shard_payload = dict(
                     shard=np.int64(i),
-                    vectors=np.asarray(self._arrays[0][i, :n_i], np.float32),
-                    links=np.asarray(self._arrays[1][i, :n_i]),
-                    link_counts=np.asarray(self._arrays[2][i, :n_i]),
-                    deleted=np.asarray(self._arrays[3][i, :n_i]),
+                    vectors=self._to_host(
+                        self._arrays[0][i, :n_i]).astype(np.float32),
+                    links=self._to_host(self._arrays[1][i, :n_i]),
+                    link_counts=self._to_host(self._arrays[2][i, :n_i]),
+                    deleted=self._to_host(self._arrays[3][i, :n_i]),
                     labels=self._labels[i, :n_i],
                     positions=self._positions[i, :n_i],
                 )
+                if mp and devs[i].process_index != jax.process_index():
+                    continue
                 compressed = shard_payload["vectors"].nbytes < (1 << 30)
                 _atomic_savez(self._shard_file(path, i), shard_payload,
                               compressed)
             manifest["per_shard"] = np.int64(1)
-            _atomic_savez(path, manifest, True)
+            if not mp or jax.process_index() == 0:
+                _atomic_savez(path, manifest, True)
         else:
-            vec, lnk, cnt, dlt, nn = (np.asarray(a) for a in self._arrays)
+            vec, lnk, cnt, dlt, nn = (self._to_host(a)
+                                      for a in self._arrays)
             manifest.update(
                 # bf16 upcasts losslessly to f32 for serialization
                 vectors=vec[:, :hi].astype(np.float32),
@@ -1225,8 +1267,9 @@ class ShardedHnswIndex:
                 labels=self._labels[:, :hi],
                 positions=self._positions[:, :hi],
             )
-            _atomic_savez(path, manifest,
-                          manifest["vectors"].nbytes < (1 << 30))
+            if not mp or jax.process_index() == 0:
+                _atomic_savez(path, manifest,
+                              manifest["vectors"].nbytes < (1 << 30))
         if do_truncate:
             self._wal.truncate(self._wal.epoch + 1)
 
@@ -1315,8 +1358,7 @@ class ShardedHnswIndex:
         ncnt[:, :hi] = cnt
         ndlt = np.zeros((s, cap), bool)
         ndlt[:, :hi] = dlt
-        shard = NamedSharding(idx.mesh, P(AXIS))
-        idx._arrays = tuple(jax.device_put(a, shard) for a in (
+        idx._arrays = tuple(idx._to_mesh(a) for a in (
             nvec, nlnk, ncnt, ndlt, counts.astype(np.int32)))
         idx._labels = np.zeros((s, cap), np.uint64)
         idx._labels[:, :hi] = lab
