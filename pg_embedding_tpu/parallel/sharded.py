@@ -201,6 +201,9 @@ class ShardedHnswIndex:
         self._pq_codebook = None
         self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
         self._pq_codes = None  # u8[S, cap, G] per-ROW codes (sweep_pq)
+        # sweep_pq coarse-pool width: None = per-call heuristic;
+        # tune_sweep_pool sets it from a measured target (api.py analog)
+        self.pq_sweep_pool: Optional[int] = None
         # incrementally-maintained int8 row shadow for the exact8 candidate
         # engine (api.HnswIndex._qvec, stacked per shard): valid iff
         # _qvec_counts matches the per-shard counts it describes
@@ -910,7 +913,8 @@ class ShardedHnswIndex:
         queries = self._check_dims(queries)
         codes = self._ensure_pq_codes()
         if pool is None:
-            pool = min(max(4 * k, k + 28), 256)
+            pool = (self.pq_sweep_pool if self.pq_sweep_pool
+                    else min(max(4 * k, k + 28), 256))
         pool = 1 << (max(int(pool), int(k)) - 1).bit_length()
         d, g = self._sweep_pq_step(int(k), pool)(
             self._arrays, jnp.asarray(queries),
@@ -930,6 +934,11 @@ class ShardedHnswIndex:
         allowed labels, or a bool mask over global INSERT POSITIONS (the
         single-chip node-id mask form; positions are tracked per slot in
         self._positions)."""
+        return self._to_mesh(self._filter_mask(where))
+
+    def _filter_mask(self, where) -> np.ndarray:
+        """Host form of _filter_to_excluded (the scan cursor snapshots
+        this before placement)."""
         cap = self.capacity_per_shard
         excluded = np.zeros((self.n_shards, cap), bool)
         if where is not None:
@@ -950,7 +959,7 @@ class ShardedHnswIndex:
                 for i in range(self.n_shards):
                     excluded[i, : counts[i]] = ~np.isin(
                         self._labels[i, : counts[i]], allowed)
-        return self._to_mesh(excluded)
+        return excluded
 
     def exact_search(self, queries, k: int, where=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1087,6 +1096,57 @@ class ShardedHnswIndex:
         self.config = self.config.with_ef(ef_search=best)
         return TuneResult(best, achieved, met)
 
+    def tune_sweep_pool(self, queries, target_recall: float = 0.95,
+                        k: int = 10, max_pool: int = 1024,
+                        strict: bool = False):
+        """Smallest power-of-two sweep_pq coarse-pool width (PER SHARD)
+        meeting ``target_recall`` against the sharded exact oracle —
+        mirrors api.HnswIndex.tune_sweep_pool; sets self.pq_sweep_pool."""
+        from ..api import TuneResult, TuneTargetMissed
+
+        queries = self._check_dims(queries)
+        _, ol, ov = self.exact_search(queries, k)
+        pool = 1 << (max(2 * k, 16) - 1).bit_length()
+        best, achieved = pool, 0.0
+        while pool <= max_pool:
+            _, l, v = self.pq_sweep_search(queries, k, pool=pool)
+            recs = []
+            for r in range(queries.shape[0]):
+                want = set(ol[r][ov[r]][:k].tolist())
+                recs.append(len(set(l[r][v[r]].tolist()) & want) /
+                            max(len(want), 1))
+            best, achieved = pool, float(np.mean(recs))
+            if achieved >= target_recall:
+                break
+            pool *= 2
+        met = achieved >= target_recall
+        if strict and not met:
+            raise TuneTargetMissed(
+                f"recall {achieved:.4f} at pool={best} misses target "
+                f"{target_recall} (max_pool={max_pool})")
+        self.pq_sweep_pool = best
+        return TuneResult(best, achieved, met)
+
+    def set_ef_search(self, ef_search: int) -> None:
+        """ALTER INDEX ... SET (efsearch=...) — the only legal live
+        mutation besides ef_construction (embedding.c:594-602)."""
+        self.config = self.config.with_ef(ef_search=ef_search)
+
+    def set_ef_construction(self, ef_construction: int) -> None:
+        self.config = self.config.with_ef(ef_construction=ef_construction)
+
+    def open_scan(self, query, ef: Optional[int] = None,
+                  where=None) -> "ShardedScan":
+        """Pull-model cursor over one query — the amgettuple analog on the
+        sharded tier (see api.HnswIndex.open_scan): result cache, global
+        node-id dedup across fetches, progressive ef-doubling on
+        exhaustion, per-shard raw-beam termination."""
+        query = self._check_dims(query)
+        if query.shape[0] != 1:
+            raise ValueError("open_scan takes exactly one query vector")
+        ef = self.config.ef_search if ef is None else int(ef)
+        return ShardedScan(self, query, self._bucket_ef(max(ef, 1)), where)
+
     def delete(self, labels) -> int:
         labels = np.asarray(labels, np.uint64).reshape(-1)
         dlt = self._to_host(self._arrays[3]).copy()
@@ -1100,6 +1160,33 @@ class ShardedHnswIndex:
             newly.append(mine[dead])
             dlt[i, : counts[i]] |= dead
         if n_new and self._wal is not None and not self._wal_replaying:
+            self._wal.log_delete(np.concatenate(newly))
+        arrays = list(self._arrays)
+        arrays[3] = self._to_mesh(dlt)
+        self._arrays = tuple(arrays)
+        self.counters["n_deleted"] += n_new
+        return n_new
+
+    def delete_where(self, mask) -> int:
+        """Tombstone by global-insert-position mask — the callback form of
+        ambulkdelete (see api.HnswIndex.delete_where; positions are the
+        sharded node-id space, tracked per slot in self._positions)."""
+        mask = np.asarray(mask, bool).reshape(-1)
+        dlt = self._to_host(self._arrays[3]).copy()
+        counts = self.shard_counts
+        n_new = 0
+        newly: list = []
+        for i in range(self.n_shards):
+            pos = self._positions[i, : counts[i]]
+            hit = (pos >= 0) & (pos < len(mask))
+            dead = np.zeros(int(counts[i]), bool)
+            dead[hit] = mask[pos[hit]]
+            dead &= ~dlt[i, : counts[i]]
+            n_new += int(dead.sum())
+            newly.append(self._labels[i, : counts[i]][dead])
+            dlt[i, : counts[i]] |= dead
+        if n_new and self._wal is not None and not self._wal_replaying:
+            # canonical WAL form is labels (the TID analog)
             self._wal.log_delete(np.concatenate(newly))
         arrays = list(self._arrays)
         arrays[3] = self._to_mesh(dlt)
@@ -1403,3 +1490,102 @@ class ShardedHnswIndex:
         finally:
             self._wal_replaying = False
         self.enable_wal(wal_path)
+
+
+class ShardedScan:
+    """Pull-model scan cursor over one query on the sharded tier — the
+    amgettuple state machine (embedding.c:100-107, 284-366) applied to the
+    merged per-shard results (see api.HnswScan for the single-chip form).
+
+    State: undelivered-row cache, the set of GLOBAL node ids already
+    returned (the sorted-TID dedup array analog — node-id based, so two
+    rows with equal labels are still returned once each), the current ef,
+    and the no-more flag.  Tombstones are re-read per fetch (concurrent
+    deletes are seen); the where-filter is snapshotted at open, and rows
+    inserted after open stay excluded (snapshot semantics, as the
+    single-chip cursor).  Termination follows the per-shard raw-beam rule:
+    widening stops once NO shard can fill its beam (the pmax'd found
+    count, mirroring the merged search's widening gate) or ef covers the
+    whole index."""
+
+    def __init__(self, index: ShardedHnswIndex, query: np.ndarray, ef: int,
+                 where=None) -> None:
+        self._idx = index
+        self._q = np.asarray(query, np.float32)
+        self._ef = ef
+        self._excluded = index._filter_mask(where)
+        self._buf_d: list = []
+        self._buf_l: list = []
+        self._seen: set = set()
+        self._no_more = False
+        self._first = True
+
+    def _excluded_now(self):
+        """Snapshot filter padded to the CURRENT per-shard capacity (the
+        mesh may have grown mid-scan; post-open rows stay excluded)."""
+        exc = self._excluded
+        cap = self._idx.capacity_per_shard
+        if exc.shape[1] != cap:
+            exc = np.pad(exc, ((0, 0), (0, cap - exc.shape[1])),
+                         constant_values=True)
+            self._excluded = exc
+        return self._idx._to_mesh(exc)
+
+    @property
+    def exhausted(self) -> bool:
+        return self._no_more and not self._buf_d
+
+    def _fetch(self) -> None:
+        idx = self._idx
+        if not self._first:
+            if self._ef >= max(idx.n_nodes, 1):
+                self._no_more = True
+                return
+            self._ef = idx._bucket_ef(self._ef * 2)
+            idx.counters["n_widenings"] += 1
+        variant = idx._traversal_variant()
+        if variant in ("packed", "pq"):
+            aux = idx._ensure_packed()
+        elif variant == "quant":
+            aux = idx._ensure_quant()
+        else:
+            aux = ()
+        # merge keeps ALL gathered candidates (k_total = S*ef): the
+        # exhaustion rule below ("no shard filled its raw beam") is only
+        # sound if the merge never drops rows the shards produced
+        step = idx._search_step(self._ef, self._ef * idx.n_shards,
+                                variant=variant)
+        d, g, found = step(idx._arrays, jnp.asarray(self._q),
+                           self._excluded_now(), *aux)
+        d = np.asarray(d)[0]
+        g = np.asarray(g)[0]
+        idx.counters["n_searches"] += 1
+        cap = idx.capacity_per_shard
+        alive = (g >= 0) & np.isfinite(d)
+        for pos in range(len(g)):
+            gid = int(g[pos])
+            if gid < 0 or not alive[pos] or gid in self._seen:
+                continue
+            self._seen.add(gid)
+            self._buf_d.append(float(d[pos]))
+            self._buf_l.append(idx._labels[gid // cap, gid % cap])
+        # exhausted once no shard filled its raw beam (found is the pmax
+        # over shards of pre-filter per-shard result counts) — one small
+        # shard never stops the others from widening
+        if int(np.asarray(found)[0]) < self._ef:
+            self._no_more = True
+        self._first = False
+
+    def next(self, n: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+        """Return up to ``n`` further (dists f32[m], labels u64[m]) rows,
+        m <= n; m < n means the scan is exhausted.  Each row is returned
+        exactly once across the scan's lifetime."""
+        if n < 1:
+            raise ValueError("next() needs n >= 1")
+        while len(self._buf_d) < n and not self._no_more:
+            self._fetch()
+        m = min(n, len(self._buf_d))
+        out_d = np.asarray(self._buf_d[:m], np.float32)
+        out_l = np.asarray(self._buf_l[:m], np.uint64)
+        del self._buf_d[:m], self._buf_l[:m]
+        return out_d, out_l
