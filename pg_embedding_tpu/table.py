@@ -179,6 +179,30 @@ class VectorTable:
         return [(int(ids[i[0][j]]), float(d[0][j]))
                 for j in range(k) if i[0][j] >= 0]
 
+    def scan(self, query, metric="<->", batch: int = 1):
+        """Pull-model ordered scan — the executor's IndexScan node pulling
+        one tuple at a time through amgettuple (embedding.c:284-366).
+        Yields (row_id, distance) pairs in pulled order; keeps fetching
+        (with the cursor's progressive widening) until the index is
+        exhausted.  Requires an index for the metric."""
+        metric = resolve_metric(metric)
+        idx = self._indexes.get(metric)
+        if idx is None:
+            raise ValueError(f"no hnsw index exists for {metric}; "
+                             "ordered pull scans need one (amgettuple)")
+        q = np.asarray(query, np.float32).reshape(1, -1)
+        if q.shape[1] != self.dims:
+            raise ValueError(
+                f"wrong number of dimensions: {q.shape[1]} instead of "
+                f"{self.dims} expected")
+        cursor = idx.open_scan(q)
+        while True:
+            d, l = cursor.next(batch)
+            for j in range(len(l)):
+                yield int(l[j]), float(d[j])
+            if len(l) < batch:
+                return
+
     def count(self) -> int:
         """SELECT COUNT(*) — live rows (NULL-vector rows count too)."""
         return int(sum(self._live))

@@ -82,3 +82,22 @@ def test_dims_and_duplicate_index_errors():
         t.create_index("ann_l2_ops", m=3)
     with pytest.raises(ValueError):
         t.order_by([1, 2], "<->", limit=1)
+
+
+def test_pull_scan_cursor(rng):
+    """t.scan(q) is the executor's amgettuple pull: streams every live row
+    exactly once in pulled order, widening past ef as needed."""
+    t = VectorTable(dims=8)
+    pts = rng.normal(size=(120, 8)).astype(np.float32)
+    ids = t.insert(list(pts))
+    t.create_index("<->", m=6, ef_construction=24, ef_search=8)
+    got = list(t.scan(pts[3], "<->", batch=7))
+    rows = [r for r, _ in got]
+    assert rows[0] == ids[3]                       # self is nearest
+    assert len(rows) == len(set(rows)) == 120      # each row exactly once
+    # deleted rows never stream
+    t.delete(rows[:10])
+    rows2 = [r for r, _ in t.scan(pts[3], "<->")]
+    assert not set(rows2) & set(rows[:10])
+    with pytest.raises(ValueError):
+        next(t.scan(pts[3], "<=>"))                # no cosine index
