@@ -242,6 +242,125 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
     return out_d.T, out_i.T
 
 
+# --------------------------------------------------------------------- #
+# measured tile autotuning (opt-in; ROADMAP #2)
+# --------------------------------------------------------------------- #
+#
+# The static tile table below was measured once at 100k x 128d on v5e;
+# other (metric, dims, k) points inherit it.  autotune_tiles() measures a
+# small candidate grid ON THE REAL DEVICE and persists the winner to a
+# JSON cache keyed by (backend, metric, padded dims, k bucket); the entry
+# point consults the cache before the static heuristics, so a one-time
+# probe upgrades every later call with those shapes.  Off-TPU (interpret
+# mode) timings are meaningless, so autotuning is TPU-only.
+
+_TILE_CACHE: dict | None = None
+
+
+def _tile_cache_path() -> str:
+    import os
+
+    root = os.environ.get("PG_EMB_TUNE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "pg_embedding_tpu")
+    return os.path.join(root, "exact_tiles.json")
+
+
+def _tile_cache() -> dict:
+    global _TILE_CACHE
+    if _TILE_CACHE is None:
+        import json
+        import os
+
+        _TILE_CACHE = {}
+        p = _tile_cache_path()
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    _TILE_CACHE = json.load(f)
+            except Exception:
+                _TILE_CACHE = {}
+    return _TILE_CACHE
+
+
+def _tile_key(metric, d_pad: int, k_run: int) -> str:
+    kb = 1 << (max(int(k_run), 1) - 1).bit_length()   # k bucket (pow2)
+    return f"{jax.default_backend()}:{metric.name}:{d_pad}:{kb}"
+
+
+def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
+                   n: int = 262_144, batch: int = 1024, reps: int = 4,
+                   save: bool = True, candidates=None, verbose=False):
+    """Measure candidate (tile_q, tile_n) pairs for the exact kernel at
+    this (metric, dims, k) point on the current device and cache the
+    winner for future pallas_exact_search calls.  Returns
+    (best_tile_q, best_tile_n, qps).
+
+    Timing discipline: one warm call per candidate (compile), then
+    ``reps`` streamed calls with a single host sync (on the axon tunnel
+    only host materialization truly blocks).  Candidates that fail to
+    compile (VMEM overflow at high k) are skipped."""
+    import json
+    import os
+    import time
+
+    from ..config import resolve_metric
+    from .bruteforce import _RERANK_PAD
+
+    metric = resolve_metric(metric)
+    if metric is Metric.MANHATTAN:
+        raise ValueError("Manhattan routes to the XLA sweep; no tiles")
+    if jax.default_backend() not in ("tpu", "axon"):
+        raise RuntimeError("autotune_tiles needs a real TPU backend")
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(n, dims)).astype(np.float32))
+    qs = jnp.asarray(rng.normal(size=(batch, dims)).astype(np.float32))
+    k_run = k + _RERANK_PAD if metric is Metric.L2 else k
+    d_pad = (max(((dims + 127) // 128) * 128, 128) if dims <= 256
+             else ((dims + 255) // 256) * 256)
+    if candidates is None:
+        qt = (256, 512, 1024)
+        nt = (512, 1024, 1536, 2048)
+        candidates = [(a, b) for a in qt for b in nt]
+
+    best = (None, None, 0.0)
+    for tq, tn in candidates:
+        try:
+            d, i = pallas_exact_search(qs, pts, k, metric, tile_q=tq,
+                                       tile_n=tn, interpret=False)
+            np.asarray(d)                           # compile + warm
+            t0 = time.time()
+            for _ in range(reps):
+                d, i = pallas_exact_search(qs, pts, k, metric, tile_q=tq,
+                                           tile_n=tn, interpret=False)
+            np.asarray(d)                           # one true sync
+            qps = reps * batch / (time.time() - t0)
+        except Exception as e:                      # VMEM overflow etc.
+            if verbose:
+                print(f"  tiles ({tq},{tn}): failed ({type(e).__name__})")
+            continue
+        if verbose:
+            print(f"  tiles ({tq},{tn}): {qps:.0f} QPS")
+        if qps > best[2]:
+            best = (tq, tn, qps)
+    if best[0] is None:
+        raise RuntimeError("no tile candidate compiled")
+    cache = _tile_cache()
+    # k_run recorded so lookups never use tiles past the k they were
+    # proven to compile at (selection-pass VMEM grows with k)
+    cache[_tile_key(metric, d_pad, k_run)] = [best[0], best[1], k_run]
+    if save:
+        p = _tile_cache_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, p)
+    return best
+
+
 @jax.jit
 def _row_norms(points):
     """Fused squared-row-norms: eagerly, ``sum(points**2)`` materializes a
@@ -297,7 +416,18 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     k_run = k + _RERANK_PAD if metric is Metric.L2 else k
     orig_points = points
 
-    # Tile auto-selection (measured on v5e, 100k x 128d x 1024 queries):
+    # Measured-tile cache first (autotune_tiles, ROADMAP #2): a one-time
+    # on-device probe at this (metric, dims, k) point beats the static
+    # table; entries are only used up to the k they were proven at.
+    if tile_q is None and tile_n is None and not interpret:
+        d0k = queries.shape[1]
+        dpk = (max(((d0k + 127) // 128) * 128, 128) if d0k <= 256
+               else ((d0k + 255) // 256) * 256)
+        hit = _tile_cache().get(_tile_key(metric, dpk, k_run))
+        if hit and k_run <= int(hit[2]):
+            tile_q, tile_n = int(hit[0]), int(hit[1])
+
+    # Static tile table (measured on v5e, 100k x 128d x 1024 queries):
     #   L2 narrow:  tq=1024/tn=1536 -> 135k QPS (corpus streams once/batch)
     #   cosine:     tq=512/tn=1536  -> 46k (its finalize needs ~50% more
     #               VMEM stack than L2; bigger tiles OOM the 16MB budget)

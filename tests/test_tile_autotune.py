@@ -1,0 +1,53 @@
+"""Exact-kernel tile autotune plumbing (ops/pallas_bruteforce.py,
+ROADMAP #2).  The measurement itself needs a real TPU (autotune_tiles
+refuses to time interpret mode); what is pinned here: the cache file
+round-trip, the key scheme, and the k-guard that keeps cached tiles from
+being used past the k they were proven to compile at."""
+
+import json
+import os
+
+import pytest
+
+import pg_embedding_tpu.ops.pallas_bruteforce as pbf
+from pg_embedding_tpu import Metric
+
+
+@pytest.fixture
+def tune_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("PG_EMB_TUNE_DIR", str(tmp_path))
+    pbf._TILE_CACHE = None          # drop any loaded cache
+    yield tmp_path
+    pbf._TILE_CACHE = None
+
+
+def test_cache_roundtrip(tune_dir):
+    cache = pbf._tile_cache()
+    assert cache == {}
+    key = pbf._tile_key(Metric.L2, 128, 20)
+    cache[key] = [1024, 1536, 20]
+    p = pbf._tile_cache_path()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(cache, f)
+    pbf._TILE_CACHE = None
+    assert pbf._tile_cache()[key] == [1024, 1536, 20]
+
+
+def test_key_buckets_k():
+    # k buckets to powers of two so nearby k values share entries
+    assert pbf._tile_key(Metric.L2, 128, 17) == \
+        pbf._tile_key(Metric.L2, 128, 32)
+    assert pbf._tile_key(Metric.L2, 128, 16) != \
+        pbf._tile_key(Metric.L2, 128, 17)
+    assert pbf._tile_key(Metric.L2, 128, 20) != \
+        pbf._tile_key(Metric.COSINE, 128, 20)
+    assert pbf._tile_key(Metric.L2, 128, 20) != \
+        pbf._tile_key(Metric.L2, 256, 20)
+
+
+def test_autotune_refuses_off_tpu(tune_dir):
+    with pytest.raises(RuntimeError):
+        pbf.autotune_tiles(64, Metric.L2, n=4096, batch=64)
+    with pytest.raises(ValueError):
+        pbf.autotune_tiles(64, Metric.MANHATTAN)
