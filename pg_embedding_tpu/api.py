@@ -87,6 +87,45 @@ def _atomic_savez(path: str, payload: dict, compressed: bool) -> None:
         os.close(dirfd)
 
 
+# Persistent measured-chunk cache for the exact8 build sweep (same
+# discipline as ops/pallas_bruteforce's serve-side tile cache): a one-time
+# tune_exact8_chunk probe upgrades every later build with these dims.
+_EXACT8_CHUNK_CACHE: Optional[dict] = None
+
+
+def _exact8_chunk_cache_path() -> str:
+    root = os.environ.get("PG_EMB_TUNE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "pg_embedding_tpu")
+    return os.path.join(root, "exact8_chunk.json")
+
+
+def _exact8_chunk_cache() -> dict:
+    global _EXACT8_CHUNK_CACHE
+    if _EXACT8_CHUNK_CACHE is None:
+        _EXACT8_CHUNK_CACHE = {}
+        p = _exact8_chunk_cache_path()
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    _EXACT8_CHUNK_CACHE = json.load(f)
+            except Exception:
+                _EXACT8_CHUNK_CACHE = {}
+    return _EXACT8_CHUNK_CACHE
+
+
+def _exact8_chunk_key(dims: int) -> str:
+    return f"{jax.default_backend()}:{dims}"
+
+
+def _save_exact8_chunk_cache(cache: dict) -> None:
+    p = _exact8_chunk_cache_path()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    os.replace(tmp, p)
+
+
 class HnswIndex:
     """Flat-NSW approximate nearest neighbor index on TPU."""
 
@@ -143,6 +182,13 @@ class HnswIndex:
         # unlimited (the sweep stays the quality/throughput winner at 10M
         # — see BASELINE.md round-3 10M table)
         self.exact8_build_threshold: Optional[int] = None
+        # exact8 coarse-sweep chunk rows (static in the slab programs;
+        # fewer+larger chunks amortize the ~5ms per-chunk top-k/merge
+        # fixed cost, but the ephemeral [B, chunk] f32 score tile grows
+        # with it).  None = consult the persistent measured cache
+        # (tune_exact8_chunk), falling back to the 1M default measured
+        # at 8M x 128d on v5e.
+        self.exact8_chunk: Optional[int] = None
         # int8 shadow validity watermark: number of leading rows the
         # (qvec, qscale) arrays currently describe; kept == _count by the
         # exact8 slab threading, else the shadow is dropped after add()
@@ -450,8 +496,75 @@ class HnswIndex:
             jnp.int32(rows), batch=batch, n_batches=n_batches,
             ef_construction=cfg.ef_construction, m=cfg.m, max_m=cfg.max_m,
             metric_value=cfg.metric.value, cand_cap=cand_cap,
-            expand_width=self.build_expand_width)
+            expand_width=self.build_expand_width,
+            exact8_chunk=self._resolve_exact8_chunk())
         self._qvec_rows = base_at_start + int(rows)
+
+    def _resolve_exact8_chunk(self) -> int:
+        """exact8 sweep chunk rows: explicit setting > persistent measured
+        cache (tune_exact8_chunk) > 1M default."""
+        if self.exact8_chunk is not None:
+            return int(self.exact8_chunk)
+        hit = _exact8_chunk_cache().get(_exact8_chunk_key(self.config.dims))
+        return int(hit[0]) if hit else 1_048_576
+
+    def tune_exact8_chunk(self, chunks=(262_144, 524_288, 1_048_576,
+                                        2_097_152),
+                          reps: int = 3, save: bool = True,
+                          verbose: bool = False) -> int:
+        """Measure the exact8 coarse-sweep dispatch at candidate chunk
+        widths against THIS index's live rows on the real device, set
+        ``exact8_chunk`` to the winner, and persist it so later indexes
+        with these dims inherit it (ROADMAP r3 #1 — the 1M default was a
+        single scan at 8M x 128d; per-(device, dims) tuning generalizes
+        it).  Requires a TPU backend (off-TPU timings are meaningless)
+        and a non-empty index; returns the chosen chunk."""
+        import time
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            raise RuntimeError("tune_exact8_chunk needs a real TPU backend")
+        if self._count == 0:
+            raise RuntimeError("tune_exact8_chunk needs a non-empty index")
+        from .core.build import _exact_candidates
+
+        qv, qs = self._ensure_quantized()
+        cfg = self.config
+        _, cand_cap = self._candidate_mode(self._count)
+        if cand_cap is None:
+            cand_cap = 2 * cfg.ef_construction
+        b = self.max_insert_batch
+        pts = self._graph.vectors[:b].astype(jnp.float32)
+        base = jnp.int32(self._count)
+        best = (None, 0.0)
+        for c in chunks:
+            fn = jax.jit(functools.partial(
+                _exact_candidates, cand_cap=cand_cap,
+                metric_value=cfg.metric.value, chunk=int(c)))
+            try:
+                d, _ = fn(self._graph.vectors, pts, base, qvec=qv, qscale=qs)
+                np.asarray(d)                       # compile + warm
+                t0 = time.time()
+                for _ in range(reps):
+                    d, _ = fn(self._graph.vectors, pts, base,
+                              qvec=qv, qscale=qs)
+                np.asarray(d)                       # one true sync
+                dt = (time.time() - t0) / reps
+            except Exception as e:                  # HBM overflow at 2M+
+                if verbose:
+                    print(f"  chunk {c}: failed ({type(e).__name__})")
+                continue
+            if verbose:
+                print(f"  chunk {c}: {dt * 1e3:.1f} ms/batch")
+            if best[0] is None or dt < best[1]:
+                best = (int(c), dt)
+        if best[0] is None:
+            raise RuntimeError("no chunk candidate ran")
+        self.exact8_chunk = best[0]
+        cache = _exact8_chunk_cache()
+        cache[_exact8_chunk_key(cfg.dims)] = [best[0], int(self._count)]
+        if save:
+            _save_exact8_chunk_cache(cache)
+        return best[0]
 
     def build(self, vectors, labels=None) -> None:
         """Bulk build (ambuild analog): preallocates capacity for the whole

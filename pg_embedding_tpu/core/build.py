@@ -376,7 +376,8 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
                       cand_cap: int | None = None,
                       expand_width: int = 1,
                       candidates: str = "beam",
-                      qvec=None, qscale=None) -> GraphState:
+                      qvec=None, qscale=None,
+                      exact8_chunk: int = 1_048_576) -> GraphState:
     """Insert a batch of points (the aminsert/ambuild hot path,
     embedding.c:606-701 + hnswalg.cpp:225-232). Un-jitted core, also used
     inside shard_map.
@@ -413,10 +414,12 @@ def insert_batch_core(graph: GraphState, points: jax.Array,
         # the (cheap) int8 matmul, so fewer+larger chunks is the lever —
         # measured at base=8M on v5e: 1506/620/187/87 ms per 256-row batch
         # at chunk=32k/131k/524k/1M.  The [B, chunk] f32 score tile is the
-        # ephemeral cost: ~1GB at chunk=1M, B=256.
+        # ephemeral cost: ~1GB at chunk=1M, B=256.  exact8_chunk is a
+        # static perf knob (HnswIndex.tune_exact8_chunk measures it per
+        # (device, dims) and persists the winner).
         cand_d, cand_i = _exact_candidates(
             vectors, points, base, cand_cap=cand_cap,
-            metric_value=metric_value, chunk=1_048_576,
+            metric_value=metric_value, chunk=exact8_chunk,
             qvec=qvec, qscale=qscale)
     else:
         # batched searchBaseLayer(point, efConstruction) (hnswalg.cpp:229)
@@ -587,13 +590,15 @@ def quantize_rows(points: jax.Array):
 @functools.partial(
     jax.jit, donate_argnums=(0, 1, 2),
     static_argnames=("batch", "n_batches", "ef_construction", "m", "max_m",
-                     "metric_value", "cand_cap", "expand_width"))
+                     "metric_value", "cand_cap", "expand_width",
+                     "exact8_chunk"))
 def insert_slab_q_donating(graph: GraphState, qvec: jax.Array,
                            qscale: jax.Array, slab: jax.Array,
                            n_valid: jax.Array, *, batch: int, n_batches: int,
                            ef_construction: int, m: int, max_m: int,
                            metric_value: int, cand_cap: int | None = None,
-                           expand_width: int = 1):
+                           expand_width: int = 1,
+                           exact8_chunk: int = 1_048_576):
     """insert_slab_donating with the exact8 candidate engine: the int8
     shadow (qvec [cap, D] i8, qscale [cap] f32) is threaded through the
     batch loop — each batch stages its rows' quantized codes BEFORE its
@@ -613,7 +618,8 @@ def insert_slab_q_donating(graph: GraphState, qvec: jax.Array,
                               ef_construction=ef_construction, m=m,
                               max_m=max_m, metric_value=metric_value,
                               cand_cap=cand_cap, expand_width=expand_width,
-                              candidates="exact8", qvec=qv, qscale=qs)
+                              candidates="exact8", qvec=qv, qscale=qs,
+                              exact8_chunk=exact8_chunk)
         return g, qv, qs
 
     return jax.lax.fori_loop(0, n_batches, body, (graph, qvec, qscale))

@@ -142,6 +142,9 @@ class ShardedHnswIndex:
         self.build_candidates = build_candidates
         self.exact_build_threshold = 600_000   # per shard (api.py analog)
         self.exact8_build_threshold: Optional[int] = None  # per shard
+        # exact8 sweep chunk rows per shard; None = the persistent
+        # measured cache (api.tune_exact8_chunk) or the 1M default
+        self.exact8_chunk: Optional[int] = None
         self.build_cand_cap: Optional[int] = None
         # bulk-insert slab grains (batches per dispatch), as api.HnswIndex:
         # one host->device upload + ONE shard_map dispatch per slab — the
@@ -352,14 +355,25 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    def _resolve_exact8_chunk(self) -> int:
+        """Per-shard exact8 sweep chunk: explicit setting > the persistent
+        measured cache shared with the single-chip tuner > 1M default."""
+        if self.exact8_chunk is not None:
+            return int(self.exact8_chunk)
+        from ..api import _exact8_chunk_cache, _exact8_chunk_key
+
+        hit = _exact8_chunk_cache().get(_exact8_chunk_key(self.config.dims))
+        return int(hit[0]) if hit else 1_048_576
+
     def _slab_step8(self, batch: int, n_batches: int, cand_cap):
         """Shard-mapped exact8 SLAB insert — insert_slab_q_donating
         (core/build.py) under shard_map: the per-shard int8 row shadow is
         threaded through the batch loop (each batch stages its quantized
         codes BEFORE its coarse sweep, so later batches see earlier ones as
         candidates), and all buffers — graph AND shadow — are donated."""
+        chunk = self._resolve_exact8_chunk()
         key = ("slab8", batch, n_batches, self.capacity_per_shard,
-               self.build_expand_width, cand_cap)
+               self.build_expand_width, cand_cap, chunk)
         if key in self._step_cache:
             return self._step_cache[key]
         cfg = self.config
@@ -382,7 +396,8 @@ class ShardedHnswIndex:
                     m=cfg.m, max_m=cfg.max_m,
                     metric_value=cfg.metric.value, cand_cap=cand_cap,
                     expand_width=self.build_expand_width,
-                    candidates="exact8", qvec=qv, qscale=qs)
+                    candidates="exact8", qvec=qv, qscale=qs,
+                    exact8_chunk=chunk)
                 return g, qv, qs
 
             g, qv, qs = jax.lax.fori_loop(
