@@ -83,8 +83,8 @@ def bench_tpu(pts, qs):
     np.asarray(idx.graph.n_nodes)   # axon: only host reads truly sync
     build_s = time.time() - t0
     log(f"TPU build {N} vecs: {build_s:.1f}s = {N / build_s:.0f} vec/s "
-        f"(default build_candidates=auto -> MXU exact-sweep candidates; "
-        f"excl. one-time compile)")
+        f"(default build_candidates=auto -> exact8 int8-shadow sweep "
+        f"candidates; excl. one-time compile)")
 
     # parity-mode build (beam-search candidates, strict reference
     # construction semantics) — timed separately with its own warm

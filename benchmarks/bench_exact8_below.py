@@ -10,8 +10,11 @@ fewer HBM bytes per chunk but pays int8-shadow maintenance per slab and
 an exact-f32 rerank of a 2x pool.
 
 Builds the same 500k x 128d corpus twice:
-  exact : auto default today (exact_build_threshold = 600k covers all)
+  exact : the pre-flip auto default (exact_build_threshold = 600k)
   exact8: exact_build_threshold = 0 (coarse sweep from row 0)
+Measured 2026-08-18 on v5e: exact 5,184 vec/s vs exact8 12,961 vec/s
+(2.5x) at identical recall@10 0.999 — which flipped the auto default to
+exact8 from row 0 on both tiers.
 and reports build vec/s + graph recall@10 (T=8, ef=64) for each.
 """
 

@@ -55,16 +55,23 @@ def main():
     from pg_embedding_tpu import api as _api
     dispatches = {"n": 0}
     real_slab = _api.insert_slab_donating
+    real_slab8 = _api.HnswIndex._run_exact8_slab
 
     def counting_slab(*a, **kw):
         dispatches["n"] += 1
         return real_slab(*a, **kw)
 
+    def counting_slab8(self, *a, **kw):
+        dispatches["n"] += 1
+        return real_slab8(self, *a, **kw)
+
     _api.insert_slab_donating = counting_slab
+    _api.HnswIndex._run_exact8_slab = counting_slab8
     try:
         idx.build(pts, np.arange(n))
     finally:
         _api.insert_slab_donating = real_slab
+        _api.HnswIndex._run_exact8_slab = real_slab8
     assert dispatches["n"] <= 6, (
         f"bulk add issued {dispatches['n']} dispatches for 20k rows — "
         f"slab batching regressed (expected <= 6)")

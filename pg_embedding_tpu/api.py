@@ -113,8 +113,14 @@ def _exact8_chunk_cache() -> dict:
     return _EXACT8_CHUNK_CACHE
 
 
-def _exact8_chunk_key(dims: int) -> str:
-    return f"{jax.default_backend()}:{dims}"
+def _exact8_chunk_key(dims: int, capacity: int) -> str:
+    """Cache key includes a power-of-two CAPACITY bucket: the winning
+    chunk is scale-dependent (per-chunk fixed overhead argues for wide
+    chunks at 10M; at 500k one corpus-covering chunk wins), so a tune at
+    one scale must not leak to builds at a very different one — misses
+    fall back to the 1M default measured at 8M."""
+    cb = 1 << max(int(capacity) - 1, 1).bit_length()
+    return f"{jax.default_backend()}:{dims}:{cb}"
 
 
 def _save_exact8_chunk_cache(cache: dict) -> None:
@@ -172,12 +178,17 @@ class HnswIndex:
         #              full-corpus candidates affordable far beyond the
         #              f32 sweep's crossover (the r2 >600k quality fix)
         #   "auto"   — exact below exact_build_threshold, exact8 from
-        #              there to exact8_build_threshold, beam beyond
+        #              there to exact8_build_threshold, beam beyond.
+        #              Measured (bench_exact8_below, 500k x 128d v5e):
+        #              exact8 builds 2.5x faster than the f32 sweep at
+        #              IDENTICAL recall (0.999 both; quality also pinned
+        #              recall-identical at 60k x 64d), so the default
+        #              exact band is empty — exact8 from row 0.
         if build_candidates not in ("auto", "beam", "exact", "exact8"):
             raise ValueError(
                 f"unknown build_candidates: {build_candidates!r}")
         self.build_candidates = build_candidates
-        self.exact_build_threshold = 600_000
+        self.exact_build_threshold = 0
         # upper bound for the exact8 coarse sweep under "auto"; None =
         # unlimited (the sweep stays the quality/throughput winner at 10M
         # — see BASELINE.md round-3 10M table)
@@ -505,7 +516,8 @@ class HnswIndex:
         cache (tune_exact8_chunk) > 1M default."""
         if self.exact8_chunk is not None:
             return int(self.exact8_chunk)
-        hit = _exact8_chunk_cache().get(_exact8_chunk_key(self.config.dims))
+        hit = _exact8_chunk_cache().get(
+            _exact8_chunk_key(self.config.dims, self._graph.capacity))
         return int(hit[0]) if hit else 1_048_576
 
     def tune_exact8_chunk(self, chunks=(262_144, 524_288, 1_048_576,
@@ -515,10 +527,11 @@ class HnswIndex:
         """Measure the exact8 coarse-sweep dispatch at candidate chunk
         widths against THIS index's live rows on the real device, set
         ``exact8_chunk`` to the winner, and persist it so later indexes
-        with these dims inherit it (ROADMAP r3 #1 — the 1M default was a
-        single scan at 8M x 128d; per-(device, dims) tuning generalizes
-        it).  Requires a TPU backend (off-TPU timings are meaningless)
-        and a non-empty index; returns the chosen chunk."""
+        with these dims at a similar capacity inherit it (ROADMAP r3 #1 —
+        the 1M default was a single scan at 8M x 128d; per-(device, dims,
+        capacity-bucket) tuning generalizes it).  Requires a TPU backend
+        (off-TPU timings are meaningless) and a non-empty index; returns
+        the chosen chunk."""
         import time
 
         if jax.default_backend() not in ("tpu", "axon"):
@@ -561,7 +574,8 @@ class HnswIndex:
             raise RuntimeError("no chunk candidate ran")
         self.exact8_chunk = best[0]
         cache = _exact8_chunk_cache()
-        cache[_exact8_chunk_key(cfg.dims)] = [best[0], int(self._count)]
+        cache[_exact8_chunk_key(cfg.dims, self._graph.capacity)] = \
+            [best[0], int(self._count)]
         if save:
             _save_exact8_chunk_cache(cache)
         return best[0]

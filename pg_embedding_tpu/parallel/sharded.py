@@ -140,7 +140,9 @@ class ShardedHnswIndex:
             raise ValueError(
                 f"unknown build_candidates: {build_candidates!r}")
         self.build_candidates = build_candidates
-        self.exact_build_threshold = 600_000   # per shard (api.py analog)
+        # per shard (api.py analog); 0 = exact8 from row 0, the measured
+        # winner (2.5x the f32 sweep's build rate at identical recall)
+        self.exact_build_threshold = 0
         self.exact8_build_threshold: Optional[int] = None  # per shard
         # exact8 sweep chunk rows per shard; None = the persistent
         # measured cache (api.tune_exact8_chunk) or the 1M default
@@ -362,7 +364,8 @@ class ShardedHnswIndex:
             return int(self.exact8_chunk)
         from ..api import _exact8_chunk_cache, _exact8_chunk_key
 
-        hit = _exact8_chunk_cache().get(_exact8_chunk_key(self.config.dims))
+        hit = _exact8_chunk_cache().get(
+            _exact8_chunk_key(self.config.dims, self.capacity_per_shard))
         return int(hit[0]) if hit else 1_048_576
 
     def _slab_step8(self, batch: int, n_batches: int, cand_cap):

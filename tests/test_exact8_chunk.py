@@ -64,11 +64,19 @@ def test_custom_chunk_builds_equivalent_quality(corpus):
 def test_resolution_order_explicit_then_cache_then_default():
     idx = HnswIndex(_cfg())
     assert idx._resolve_exact8_chunk() == 1_048_576       # default
-    # a persisted cache entry for these dims wins over the default
-    cache = {api_mod._exact8_chunk_key(24): [262_144, 123]}
+    # a persisted cache entry for (dims, capacity bucket) wins over it
+    key = api_mod._exact8_chunk_key(24, idx._graph.capacity)
+    cache = {key: [262_144, 123]}
     api_mod._save_exact8_chunk_cache(cache)
     api_mod._EXACT8_CHUNK_CACHE = None                    # drop the memo
     assert idx._resolve_exact8_chunk() == 262_144
+    # a tune at a very different scale does NOT leak to this build
+    api_mod._save_exact8_chunk_cache(
+        {api_mod._exact8_chunk_key(24, 16_000_000): [131_072, 123]})
+    api_mod._EXACT8_CHUNK_CACHE = None
+    assert idx._resolve_exact8_chunk() == 1_048_576       # bucket miss
+    api_mod._save_exact8_chunk_cache(cache)
+    api_mod._EXACT8_CHUNK_CACHE = None
     # an explicit setting wins over the cache
     idx.exact8_chunk = 4096
     assert idx._resolve_exact8_chunk() == 4096
@@ -81,10 +89,11 @@ def test_resolution_order_explicit_then_cache_then_default():
 
 def test_sharded_resolves_from_the_same_cache(corpus):
     pts, qs = corpus
-    cache = {api_mod._exact8_chunk_key(24): [512, 123]}
+    sh = ShardedHnswIndex(_cfg(), build_candidates="exact8")
+    cache = {api_mod._exact8_chunk_key(24, sh.capacity_per_shard):
+             [512, 123]}
     api_mod._save_exact8_chunk_cache(cache)
     api_mod._EXACT8_CHUNK_CACHE = None
-    sh = ShardedHnswIndex(_cfg(), build_candidates="exact8")
     assert sh._resolve_exact8_chunk() == 512
     sh.build(pts, np.arange(len(pts)))                    # compiles with it
     d, l, v = sh.search(qs, 10)

@@ -39,15 +39,27 @@ def test_quantized_recall_parity(data):
 
 
 def test_quantized_stale_after_add(data):
+    """The int8 shadow must never serve stale rows after add().  Under a
+    non-exact8 build mode the add invalidates it (rebuilt lazily); under
+    the exact8 default the slab threading maintains it through every
+    inserted row, so it stays valid and watermark-consistent."""
     pts, qs = data
     cfg = HnswConfig(dims=16, m=8, ef_construction=32, ef_search=32)
-    qi = HnswIndex(cfg, quantized_traversal=True)
+    qi = HnswIndex(cfg, quantized_traversal=True, build_candidates="beam")
     qi.build(pts[:300])
     qi.search(qs[:2], 5)         # builds the shadow copy
     assert qi._qvec is not None
     qi.add(pts[300:330], np.arange(300, 330))
     assert qi._qvec is None      # invalidated
     d, l, v = qi.search(qs[:2], 5)
+    assert v.all()
+
+    e8 = HnswIndex(cfg, quantized_traversal=True)   # auto -> exact8
+    e8.build(pts[:300])
+    assert e8._qvec is not None and e8._qvec_rows == 300
+    e8.add(pts[300:330], np.arange(300, 330))
+    assert e8._qvec is not None and e8._qvec_rows == 330  # maintained
+    d, l, v = e8.search(qs[:2], 5)
     assert v.all()
 
 

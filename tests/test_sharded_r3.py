@@ -95,14 +95,19 @@ def test_sharded_auto_candidates_threshold(corpus, monkeypatch):
     monkeypatch.setattr(ShardedHnswIndex, "_slab_step", spy)
     monkeypatch.setattr(ShardedHnswIndex, "_slab_step8", spy8)
     idx.add(pts[:400], np.arange(400))
+    assert set(modes) == {"exact8"}         # measured default: exact8 @ row 0
+    modes.clear()
+    idx.exact_build_threshold = 600_000     # opt back into the f32 band
+    idx.add(pts[400:800], np.arange(400, 800))
     assert set(modes) == {"exact"}
     modes.clear()
     idx.exact_build_threshold = 10          # force the exact8 regime
-    idx.add(pts[400:800], np.arange(400, 800))
+    idx.exact8_build_threshold = None
+    idx.add(pts[800:1200], np.arange(800, 1200))
     assert set(modes) == {"exact8"}
     modes.clear()
     idx.exact8_build_threshold = 20         # force the beam regime
-    idx.add(pts[800:1200], np.arange(800, 1200))
+    idx.add(pts[1200:1500], np.arange(1200, 1500))
     assert set(modes) == {"beam"}
     idx.check_integrity()
 
