@@ -99,17 +99,22 @@ def _exact8_chunk_cache_path() -> str:
     return os.path.join(root, "exact8_chunk.json")
 
 
+# Factory calibration shipped with the package (same precedence as the
+# serve-side tile cache: user cache > factory file > built-in default) —
+# a machine reset must not silently drop to the untuned 1M default.
+_FACTORY_CHUNK_PATH: Optional[str] = None  # default resolved lazily
+
+
 def _exact8_chunk_cache() -> dict:
     global _EXACT8_CHUNK_CACHE
     if _EXACT8_CHUNK_CACHE is None:
-        _EXACT8_CHUNK_CACHE = {}
-        p = _exact8_chunk_cache_path()
-        if os.path.exists(p):
-            try:
-                with open(p) as f:
-                    _EXACT8_CHUNK_CACHE = json.load(f)
-            except Exception:
-                _EXACT8_CHUNK_CACHE = {}
+        from .ops.pallas_bruteforce import _load_json
+
+        _EXACT8_CHUNK_CACHE = _load_json(_exact8_chunk_cache_path())
+        factory = _FACTORY_CHUNK_PATH or os.path.join(
+            os.path.dirname(__file__), "exact8_chunk_factory.json")
+        for key, val in _load_json(factory).items():
+            _EXACT8_CHUNK_CACHE.setdefault(key, val)
     return _EXACT8_CHUNK_CACHE
 
 

@@ -256,6 +256,13 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
 
 _TILE_CACHE: dict | None = None
 
+# Factory calibration shipped with the package: autotune_tiles results
+# measured on real hardware and committed, so a fresh machine (or a wiped
+# ~/.cache) still starts from measured tiles rather than the static
+# heuristics.  Precedence: explicit tile args > user cache (a local
+# autotune_tiles run) > this file > static table.
+_FACTORY_TILES_PATH: str | None = None  # default resolved lazily
+
 
 def _tile_cache_path() -> str:
     import os
@@ -265,20 +272,31 @@ def _tile_cache_path() -> str:
     return os.path.join(root, "exact_tiles.json")
 
 
+def _load_json(path: str) -> dict:
+    import json
+    import os
+
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                return loaded
+        except Exception:
+            pass
+    return {}
+
+
 def _tile_cache() -> dict:
     global _TILE_CACHE
     if _TILE_CACHE is None:
-        import json
         import os
 
-        _TILE_CACHE = {}
-        p = _tile_cache_path()
-        if os.path.exists(p):
-            try:
-                with open(p) as f:
-                    _TILE_CACHE = json.load(f)
-            except Exception:
-                _TILE_CACHE = {}
+        _TILE_CACHE = _load_json(_tile_cache_path())
+        factory = _FACTORY_TILES_PATH or os.path.join(
+            os.path.dirname(__file__), "exact_tiles_factory.json")
+        for key, val in _load_json(factory).items():
+            _TILE_CACHE.setdefault(key, val)
     return _TILE_CACHE
 
 

@@ -51,3 +51,45 @@ def test_autotune_refuses_off_tpu(tune_dir):
         pbf.autotune_tiles(64, Metric.L2, n=4096, batch=64)
     with pytest.raises(ValueError):
         pbf.autotune_tiles(64, Metric.MANHATTAN)
+
+
+def test_factory_fallback_and_user_cache_precedence(tune_dir, tmp_path,
+                                                    monkeypatch):
+    """The committed factory calibration backs a missing user cache, and a
+    local autotune (user cache) always wins over the factory entry."""
+    fkey = pbf._tile_key(Metric.L2, 128, 20)
+    okey = pbf._tile_key(Metric.COSINE, 256, 10)
+    factory = tmp_path / "factory_tiles.json"
+    factory.write_text(json.dumps({fkey: [512, 2048, 20],
+                                   okey: [256, 1024, 10]}))
+    monkeypatch.setattr(pbf, "_FACTORY_TILES_PATH", str(factory))
+    pbf._TILE_CACHE = None
+    # no user cache: factory entries serve
+    assert pbf._tile_cache()[fkey] == [512, 2048, 20]
+    assert pbf._tile_cache()[okey] == [256, 1024, 10]
+    # user cache overrides the shared key, factory still fills the other
+    p = pbf._tile_cache_path()
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump({fkey: [1024, 1536, 20]}, f)
+    pbf._TILE_CACHE = None
+    assert pbf._tile_cache()[fkey] == [1024, 1536, 20]
+    assert pbf._tile_cache()[okey] == [256, 1024, 10]
+
+
+def test_factory_fallback_exact8_chunk(tune_dir, tmp_path, monkeypatch):
+    """Same precedence for the build-side exact8 chunk cache."""
+    import pg_embedding_tpu.api as api
+
+    key = api._exact8_chunk_key(128, 500_224)
+    factory = tmp_path / "factory_chunk.json"
+    factory.write_text(json.dumps({key: [524_288, 500_000]}))
+    monkeypatch.setattr(api, "_FACTORY_CHUNK_PATH", str(factory))
+    api._EXACT8_CHUNK_CACHE = None
+    assert api._exact8_chunk_cache()[key] == [524_288, 500_000]
+    # user cache wins
+    with open(api._exact8_chunk_cache_path(), "w") as f:
+        json.dump({key: [1_048_576, 500_000]}, f)
+    api._EXACT8_CHUNK_CACHE = None
+    assert api._exact8_chunk_cache()[key] == [1_048_576, 500_000]
+    api._EXACT8_CHUNK_CACHE = None
