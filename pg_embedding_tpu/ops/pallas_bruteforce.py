@@ -307,7 +307,8 @@ def _tile_key(metric, d_pad: int, k_run: int) -> str:
 
 def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
                    n: int = 262_144, batch: int = 1024, reps: int = 4,
-                   save: bool = True, candidates=None, verbose=False):
+                   rounds: int = 3, save: bool = True, candidates=None,
+                   verbose=False):
     """Measure candidate (tile_q, tile_n) pairs for the exact kernel at
     this (metric, dims, k) point on the current device and cache the
     winner for future pallas_exact_search calls.  Returns
@@ -316,7 +317,15 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
     Timing discipline: one warm call per candidate (compile), then
     ``reps`` streamed calls with a single host sync (on the axon tunnel
     only host materialization truly blocks).  Candidates that fail to
-    compile (VMEM overflow at high k) are skipped."""
+    compile (VMEM overflow at high k) are skipped.
+
+    Noise discipline: on shared devices external load spreads a single
+    timing window 2-3x (measured on the tunneled v5e: two back-to-back
+    full scans ranked DIFFERENT winners), and the noise is one-sided —
+    contention only ever slows a window down.  So candidates are swept in
+    ``rounds`` interleaved passes and each keeps its BEST (minimum-time)
+    window; a load spike then hurts one pass of one candidate instead of
+    that candidate's whole measurement."""
     import json
     import os
     import time
@@ -343,28 +352,38 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
         nt = (512, 1024, 1536, 2048)
         candidates = [(a, b) for a in qt for b in nt]
 
-    best = (None, None, 0.0)
-    for tq, tn in candidates:
-        try:
-            d, i = pallas_exact_search(qs, pts, k, metric, tile_q=tq,
-                                       tile_n=tn, interpret=False)
-            np.asarray(d)                           # compile + warm
-            t0 = time.time()
-            for _ in range(reps):
+    best_qps: dict = {}
+    failed: set = set()
+    for rnd in range(max(int(rounds), 1)):
+        for tq, tn in candidates:
+            if (tq, tn) in failed:
+                continue
+            try:
                 d, i = pallas_exact_search(qs, pts, k, metric, tile_q=tq,
                                            tile_n=tn, interpret=False)
-            np.asarray(d)                           # one true sync
-            qps = reps * batch / (time.time() - t0)
-        except Exception as e:                      # VMEM overflow etc.
+                np.asarray(d)                       # compile + warm
+                t0 = time.time()
+                for _ in range(reps):
+                    d, i = pallas_exact_search(qs, pts, k, metric,
+                                               tile_q=tq, tile_n=tn,
+                                               interpret=False)
+                np.asarray(d)                       # one true sync
+                qps = reps * batch / (time.time() - t0)
+            except Exception as e:                  # VMEM overflow etc.
+                failed.add((tq, tn))
+                if verbose and rnd == 0:
+                    print(f"  tiles ({tq},{tn}): failed "
+                          f"({type(e).__name__})")
+                continue
+            key = (tq, tn)
+            best_qps[key] = max(best_qps.get(key, 0.0), qps)
             if verbose:
-                print(f"  tiles ({tq},{tn}): failed ({type(e).__name__})")
-            continue
-        if verbose:
-            print(f"  tiles ({tq},{tn}): {qps:.0f} QPS")
-        if qps > best[2]:
-            best = (tq, tn, qps)
-    if best[0] is None:
+                print(f"  tiles ({tq},{tn}) round {rnd}: {qps:.0f} QPS"
+                      f" (best {best_qps[key]:.0f})")
+    if not best_qps:
         raise RuntimeError("no tile candidate compiled")
+    (btq, btn), bq = max(best_qps.items(), key=lambda kv: kv[1])
+    best = (btq, btn, bq)
     cache = _tile_cache()
     # k_run recorded so lookups never use tiles past the k they were
     # proven to compile at (selection-pass VMEM grows with k)
