@@ -29,10 +29,34 @@ EF_SEARCH = 64
 K = 10
 N_QUERIES = 1_024
 QPS_REPS = 8
+QPS_ROUNDS = 3
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def stream_qps(fn, n_per_call, reps=QPS_REPS, rounds=QPS_ROUNDS):
+    """Best-of-rounds streaming throughput for a shared device.
+
+    Contention on the tunneled TPU (and on the one-core host) is
+    one-sided — external load only ever SLOWS a window, never speeds it —
+    so a single timing window understates throughput by whatever happened
+    to be running concurrently (measured 2-3x spread between back-to-back
+    windows).  Keep the fastest of ``rounds`` windows, the same noise
+    discipline ops.pallas_bruteforce.autotune_tiles uses to rank tile
+    candidates.  ``fn`` runs one streamed call and returns an output to
+    materialize; each window issues ``reps`` calls with ONE final host
+    sync (on axon only host reads truly block)."""
+    best = float("inf")
+    for _ in range(max(int(rounds), 1)):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        np.asarray(out)
+        best = min(best, time.time() - t0)
+    return reps * n_per_call / best
 
 
 def make_data(rng):
@@ -120,14 +144,10 @@ def bench_tpu(pts, qs):
     d, l, v = idx.search(qs, K, mode="graph")
     lat_g = time.time() - t0
     # streaming throughput: keep the device pipeline full (a serving loop
-    # doesn't host-sync between batches); sync once at the end
-    t0 = time.time()
-    for _ in range(QPS_REPS):
-        dd, ii, _ = search_graph(idx.graph, qdev, ef=EF_SEARCH,
-                                 metric_value=0,
-                                 expand_width=idx.search_expand_width)
-    np.asarray(dd)
-    qps_g = QPS_REPS * N_QUERIES / (time.time() - t0)
+    # doesn't host-sync between batches); sync once per window
+    qps_g = stream_qps(lambda: search_graph(
+        idx.graph, qdev, ef=EF_SEARCH, metric_value=0,
+        expand_width=idx.search_expand_width)[0], N_QUERIES)
     log(f"TPU graph search: {qps_g:.0f} QPS streaming, "
         f"{lat_g * 1000:.0f}ms/batch sync (batch {N_QUERIES}, "
         f"ef={EF_SEARCH}), recall@10={rec_g:.4f}")
@@ -140,13 +160,9 @@ def bench_tpu(pts, qs):
                                     metric_value=0, expand_width=8)
     rec_p = recall_at_k(np.asarray(idx._labels[np.maximum(ii, 0)]),
                         np.asarray(ii >= 0), ol, K)
-    t0 = time.time()
-    for _ in range(QPS_REPS):
-        dd, ii, _ = search_graph_packed(idx.graph, qdev, pc, ps,
-                                        ef=EF_SEARCH, metric_value=0,
-                                        expand_width=8)
-    np.asarray(dd)
-    qps_p = QPS_REPS * N_QUERIES / (time.time() - t0)
+    qps_p = stream_qps(lambda: search_graph_packed(
+        idx.graph, qdev, pc, ps, ef=EF_SEARCH, metric_value=0,
+        expand_width=8)[0], N_QUERIES)
     log(f"TPU packed graph search: {qps_p:.0f} QPS streaming (T=8), "
         f"recall@10={rec_p:.4f}")
 
@@ -163,13 +179,9 @@ def bench_tpu(pts, qs):
                                     expand_width=8)
     rec_pf = recall_at_k(np.asarray(idx._labels[np.maximum(ii, 0)]),
                          np.asarray(ii >= 0), ol, K)
-    t0 = time.time()
-    for _ in range(QPS_REPS):
-        dd, ii, _ = search_graph_packed(idx.graph, qdev, pf, None,
-                                        ef=EF_SEARCH, metric_value=0,
-                                        expand_width=8)
-    np.asarray(dd)
-    qps_pf = QPS_REPS * N_QUERIES / (time.time() - t0)
+    qps_pf = stream_qps(lambda: search_graph_packed(
+        idx.graph, qdev, pf, None, ef=EF_SEARCH, metric_value=0,
+        expand_width=8)[0], N_QUERIES)
     log(f"TPU packed-f32 graph search (strict parity): {qps_pf:.0f} QPS "
         f"streaming (T=8), recall@10={rec_pf:.4f}")
     idx.packed_dtype = "int8"
@@ -181,13 +193,9 @@ def bench_tpu(pts, qs):
     t0 = time.time()
     d, l, v = idx.search(qs, K, mode="auto")
     lat_a = time.time() - t0
-    t0 = time.time()
-    for _ in range(QPS_REPS):
-        dd, ii = pallas_exact_search(qdev, idx.graph.vectors, K,
-                                     idx.config.metric, n_valid=len(idx),
-                                     deleted=idx.graph.deleted)
-    np.asarray(dd)
-    qps_a = QPS_REPS * N_QUERIES / (time.time() - t0)
+    qps_a = stream_qps(lambda: pallas_exact_search(
+        qdev, idx.graph.vectors, K, idx.config.metric, n_valid=len(idx),
+        deleted=idx.graph.deleted)[0], N_QUERIES)
     log(f"TPU auto search: {qps_a:.0f} QPS streaming, "
         f"{lat_a * 1000:.0f}ms/batch sync (batch {N_QUERIES}), "
         f"recall@10={rec_a:.4f}")
@@ -217,10 +225,16 @@ def bench_cpu(pts, qs, oracle_labels, n_queries=512):
     log(f"CPU build {N} vecs: {build_s:.1f}s = {N / build_s:.0f} vec/s "
         f"(single thread)")
 
+    # same best-of-rounds discipline as the TPU side — the one-core host
+    # is just as exposed to one-sided contention
     sub = qs[:n_queries]
-    t0 = time.time()
-    results = [idx.search(q, EF_SEARCH) for q in sub]
-    qps = len(sub) / (time.time() - t0)
+    results = None
+    best = float("inf")
+    for _ in range(QPS_ROUNDS):
+        t0 = time.time()
+        results = [idx.search(q, EF_SEARCH) for q in sub]
+        best = min(best, time.time() - t0)
+    qps = len(sub) / best
 
     # recall against the SAME oracle as the TPU engines (round-1 scored CPU
     # against a separate numpy oracle while the device oracle silently lost

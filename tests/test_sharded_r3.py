@@ -40,6 +40,7 @@ def test_sharded_add_is_slabbed(corpus, monkeypatch):
     idx = ShardedHnswIndex(_cfg(), max_insert_batch=128)
     calls = []
     orig = ShardedHnswIndex._slab_step
+    orig8 = ShardedHnswIndex._slab_step8
 
     def spy(self, batch, n_batches, candidates, cand_cap):
         fn = orig(self, batch, n_batches, candidates, cand_cap)
@@ -49,7 +50,18 @@ def test_sharded_add_is_slabbed(corpus, monkeypatch):
             return fn(*a)
         return counted
 
+    def spy8(self, batch, n_batches, cand_cap):
+        fn = orig8(self, batch, n_batches, cand_cap)
+
+        def counted(*a):
+            calls.append((batch, n_batches))
+            return fn(*a)
+        return counted
+
+    # the measured default routes through the exact8 slab program; count
+    # dispatches from EITHER slab factory so the bound is mode-agnostic
     monkeypatch.setattr(ShardedHnswIndex, "_slab_step", spy)
+    monkeypatch.setattr(ShardedHnswIndex, "_slab_step8", spy8)
     idx.build(pts, np.arange(len(pts)))
     # 1500 rows over 8 shards = 188 rows/shard = 2 batches of 128 ->
     # ONE small-grain slab dispatch covers them (16 batches/slab)
