@@ -179,14 +179,17 @@ class ShardedHnswIndex:
         self._quant = None   # (qvec [S,cap,D] i8, qscale [S,cap] f32)
         # packed neighbor-code records per shard (api.HnswIndex's
         # packed_traversal, sharded): rebuilt lazily after inserts.
-        # packed_dtype "int8" (default) or "pq" (product-quantized records,
+        # packed_dtype "int8" (default), "pq" (product-quantized records,
         # D/pq_groups bytes/elem — the only record type that fits past ~2M
-        # rows/shard at 128d; see api.HnswIndex).  The PQ codebook is
+        # rows/shard at 128d; see api.HnswIndex), "float32" (exact records,
+        # NO rerank — the merged results are BIT-identical to the sharded
+        # plain walk, the strict-parity serving mode) or "bfloat16" (half
+        # the record bytes, exact rerank).  The PQ codebook is
         # GLOBAL: trained once on a cross-shard sample and replicated over
         # the mesh, so every shard compresses consistently and the merged
         # top-k reranks against one dictionary.
         self.packed_traversal = bool(packed_traversal)
-        if packed_dtype not in ("int8", "pq"):
+        if packed_dtype not in ("int8", "bfloat16", "float32", "pq"):
             raise ValueError(f"unknown packed_dtype: {packed_dtype!r}")
         if packed_dtype == "pq" and config.dims % int(pq_groups):
             raise ValueError(
@@ -683,6 +686,27 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    def _pack_step_cast(self):
+        """Shard-mapped builder for cast packed records (bf16/f32 — no
+        scales; see api.HnswIndex._pack_records_cast): one gather
+        co-locates every node's neighbors' rows at the chosen precision.
+        f32 records reproduce the plain walk's distances bit-exactly."""
+        key = ("packcast", self.capacity_per_shard, self.packed_dtype)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        dtype = jnp.dtype(self.packed_dtype)
+
+        def pack(arrays):
+            g = _local(arrays)
+            safe = jnp.maximum(g.links, 0)
+            return g.vectors.astype(dtype)[safe][None]
+
+        spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+        fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
+                                   out_specs=P(AXIS), check_vma=False))
+        self._step_cache[key] = fn
+        return fn
+
     def _pq_rotation(self):
         """The OPQ rotation, or the identity (matmul with I is bit-exact,
         so one compiled program serves both modes)."""
@@ -697,6 +721,8 @@ class ShardedHnswIndex:
                 rot = self._pq_rotation()
                 self._packed = (
                     self._pack_step_pq()(self._arrays, cb, rot), cb, rot)
+            elif self.packed_dtype in ("float32", "bfloat16"):
+                self._packed = (self._pack_step_cast()(self._arrays),)
             else:
                 self._packed = self._pack_step()(self._arrays)
         return self._packed
@@ -740,7 +766,11 @@ class ShardedHnswIndex:
 
     def _traversal_variant(self) -> str:
         if self.packed_traversal:
-            return "pq" if self.packed_dtype == "pq" else "packed"
+            if self.packed_dtype == "pq":
+                return "pq"
+            if self.packed_dtype in ("float32", "bfloat16"):
+                return "cast"
+            return "packed"
         if self.quantized_traversal:
             return "quant"
         return "plain"
@@ -783,6 +813,12 @@ class ShardedHnswIndex:
                                               pscales=ps),
                     in_axes=(None, 0, None, None))(g, q, aux_a[0],
                                                    aux_b[0])
+            elif variant == "cast":
+                # bf16/f32 records, no scales (f32 = bit-exact plain walk)
+                (aux_a,) = aux
+                d, i, hops, evals = jax.vmap(
+                    lambda gg, qq, pc: fn(gg, qq, pcodes=pc),
+                    in_axes=(None, 0, None))(g, q, aux_a[0])
             elif variant == "quant":
                 aux_a, aux_b = aux
                 d, i, hops, evals = jax.vmap(
@@ -818,6 +854,8 @@ class ShardedHnswIndex:
         if variant == "pq":
             # records per-shard; codebook + rotation replicated
             aux_specs = (P(AXIS), P(), P())
+        elif variant == "cast":
+            aux_specs = (P(AXIS),)
         elif variant != "plain":
             aux_specs = (P(AXIS), P(AXIS))
         else:
@@ -1041,7 +1079,7 @@ class ShardedHnswIndex:
         if where is not None:
             n = int(n - np.asarray(excluded).sum())
         variant = self._traversal_variant()
-        if variant in ("packed", "pq"):
+        if variant in ("packed", "pq", "cast"):
             aux = self._ensure_packed()
         elif variant == "quant":
             aux = self._ensure_quant()
@@ -1562,7 +1600,7 @@ class ShardedScan:
             self._ef = idx._bucket_ef(self._ef * 2)
             idx.counters["n_widenings"] += 1
         variant = idx._traversal_variant()
-        if variant in ("packed", "pq"):
+        if variant in ("packed", "pq", "cast"):
             aux = idx._ensure_packed()
         elif variant == "quant":
             aux = idx._ensure_quant()

@@ -1,0 +1,90 @@
+"""Sharded cast packed records (round-4: tier parity for the strict-parity
+serving modes).  ``packed_dtype="float32"`` must return BIT-identical
+results to the sharded plain walk (same distances, same global ids — no
+quantization, no rerank; the sharded analog of
+tests/test_round3_fixes.py::test_packed_f32_bit_identical_to_plain), and
+``"bfloat16"`` must serve with exact-rerank quality.  Reference exactness
+bar: searchKnn, /root/reference/hnswalg.cpp:234-252."""
+
+import numpy as np
+import pytest
+
+from pg_embedding_tpu import HnswConfig, ShardedHnswIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(rng):
+    pts = rng.normal(size=(1200, 16)).astype(np.float32)
+    qs = pts[rng.integers(0, 1200, 16)] + \
+        rng.normal(scale=0.05, size=(16, 16)).astype(np.float32)
+    return pts, qs.astype(np.float32)
+
+
+def _cfg(**kw):
+    kw.setdefault("dims", 16)
+    kw.setdefault("m", 8)
+    kw.setdefault("ef_construction", 32)
+    kw.setdefault("ef_search", 32)
+    return HnswConfig(**kw)
+
+
+def _build(corpus, **kw):
+    pts, _ = corpus
+    idx = ShardedHnswIndex(_cfg(), max_insert_batch=128, **kw)
+    idx.add(pts, np.arange(len(pts)))
+    return idx
+
+
+def test_sharded_packed_f32_bit_identical_to_plain(corpus):
+    pts, qs = corpus
+    plain = _build(corpus)
+    packed = _build(corpus, packed_traversal=True, packed_dtype="float32")
+    dp, lp, vp = plain.search(qs, 10, mode="graph")
+    df, lf, vf = packed.search(qs, 10, mode="graph")
+    # identical graphs (same deterministic build), identical f32 distances:
+    # the cast record gather reproduces the plain walk's arithmetic exactly
+    np.testing.assert_array_equal(vp, vf)
+    np.testing.assert_array_equal(lp[vp], lf[vf])
+    np.testing.assert_array_equal(dp[vp], df[vf])
+
+
+def test_sharded_packed_bf16_serves(corpus):
+    pts, qs = corpus
+    idx = _build(corpus, packed_traversal=True, packed_dtype="bfloat16")
+    d, l, v = idx.search(qs, 10, mode="graph")
+    _, le, ve = idx.exact_search(qs, 10)
+    rec = np.mean([len(set(l[i][v[i]]) & set(le[i][ve[i]])) / 10
+                   for i in range(len(qs))])
+    assert rec >= 0.9
+    # distances are exact f32 reranks of the bf16-traversed candidates
+    de, _, _ = idx.exact_search(qs, 10)
+    assert np.all(np.isfinite(d[v]))
+
+
+def test_sharded_packed_cast_scan_cursor(corpus):
+    """The pull cursor must accept the cast variant too (same aux plumb)."""
+    pts, qs = corpus
+    idx = _build(corpus, packed_traversal=True, packed_dtype="float32")
+    scan = idx.open_scan(qs[0])
+    d1, l1 = scan.next(5)
+    d2, l2 = scan.next(5)
+    assert len(d1) == 5 and len(d2) == 5
+    assert len(set(l1.tolist()) & set(l2.tolist())) == 0
+    assert d1[-1] <= d2[0] + 1e-6
+
+
+def test_sharded_packed_cast_save_load(tmp_path, corpus):
+    """Serving-mode knobs are NOT index state (only arrays + config + the
+    expensive PQ dictionary persist); re-enabling the cast mode on the
+    loaded index must reproduce the saved index's results exactly."""
+    pts, qs = corpus
+    idx = _build(corpus, packed_traversal=True, packed_dtype="float32")
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = ShardedHnswIndex.load(p)
+    idx2.packed_traversal = True
+    idx2.packed_dtype = "float32"
+    d1, l1, v1 = idx.search(qs, 10, mode="graph")
+    d2, l2, v2 = idx2.search(qs, 10, mode="graph")
+    np.testing.assert_array_equal(l1[v1], l2[v2])
+    np.testing.assert_array_equal(d1[v1], d2[v2])
