@@ -241,6 +241,8 @@ class HnswIndex:
         # — see enable_wal(); None until enabled
         self._wal = None
         self._wal_replaying = False
+        self._wal_auto_bytes = None       # enable_wal(auto_checkpoint_bytes=)
+        self._wal_snapshot_path = None
         # packed traversal: co-locate every node's NEIGHBORS' int8 codes in
         # one contiguous record (int8[cap, maxM, D]), so a beam step gathers
         # T records instead of T*maxM random rows — the page-locality analog
@@ -491,6 +493,7 @@ class HnswIndex:
         self._pcodes = None
         self._pscales = None
         self._pq_codes = None
+        self._maybe_auto_checkpoint()
         return np.arange(base, base + n, dtype=np.int64)
 
     def _run_exact8_slab(self, dev_slab, rows: int, batch: int,
@@ -1008,6 +1011,7 @@ class HnswIndex:
             self._graph = self._graph._replace(
                 deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
         self.counters["n_deleted"] += len(idxs)
+        self._maybe_auto_checkpoint()
         return len(idxs)
 
     def delete_where(self, mask) -> int:
@@ -1022,6 +1026,7 @@ class HnswIndex:
             self._graph = self._graph._replace(
                 deleted=self._graph.deleted.at[jnp.asarray(idxs)].set(True))
         self.counters["n_deleted"] += len(idxs)
+        self._maybe_auto_checkpoint()
         return len(idxs)
 
     def tune_ef_search(self, queries, target_recall: float = 0.95,
@@ -1157,15 +1162,39 @@ class HnswIndex:
     # durability (save/load) — the WAL/checkpoint analog
     # ------------------------------------------------------------------ #
 
-    def enable_wal(self, path: str) -> None:
+    def enable_wal(self, path: str,
+                   auto_checkpoint_bytes: Optional[int] = None,
+                   snapshot_path: Optional[str] = None) -> None:
         """Enable the write-ahead delta log — the GenericXLog analog
         (embedding.c:651-686): every add()/delete() is appended and fsync'd
         BEFORE the device mutation, so a crash between save() snapshots
         loses nothing acknowledged. load(snapshot, wal=path) replays the
-        records appended after the snapshot (see wal.py)."""
+        records appended after the snapshot (see wal.py).
+
+        ``auto_checkpoint_bytes`` bounds the log the way Postgres
+        checkpoints bound GenericXLog (embedding.c:526-530): once the log
+        passes the threshold, the next completed add()/delete() snapshots
+        to ``snapshot_path`` (default: ``path + ".ckpt.npz"``), which
+        truncates the replayed prefix.  The log is therefore never larger
+        than threshold + one call's payload.  Recovery after a crash:
+        ``load(snapshot_path, wal=path)``.  None (default) keeps the
+        manual-checkpoint behavior."""
         from .wal import WalWriter
 
         self._wal = WalWriter(path, self.config)
+        self._wal_auto_bytes = (int(auto_checkpoint_bytes)
+                                if auto_checkpoint_bytes else None)
+        self._wal_snapshot_path = snapshot_path or (path + ".ckpt.npz")
+
+    def _maybe_auto_checkpoint(self) -> None:
+        """Called AFTER a mutation is applied on device: every logged
+        record is covered by device state, so the snapshot+truncate pair
+        is loss-free (a checkpoint between log-append and apply would
+        truncate acknowledged-but-unapplied records)."""
+        if (self._wal is not None and not self._wal_replaying
+                and getattr(self, "_wal_auto_bytes", None) is not None
+                and self._wal.tell() >= self._wal_auto_bytes):
+            self.save(self._wal_snapshot_path)
 
     @staticmethod
     def _to_host(arr, n, dtype=None, rows: int = 1 << 20):

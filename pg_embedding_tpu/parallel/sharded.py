@@ -246,17 +246,38 @@ class ShardedHnswIndex:
         # round-robin partitioning, so per-shard logs would buy nothing
         self._wal = None
         self._wal_replaying = False
+        self._wal_auto_bytes = None      # enable_wal(auto_checkpoint_bytes=)
+        self._wal_snapshot_path = None
 
-    def enable_wal(self, path: str) -> None:
+    def enable_wal(self, path: str,
+                   auto_checkpoint_bytes: Optional[int] = None,
+                   snapshot_path: Optional[str] = None) -> None:
         """Enable the write-ahead delta log (the GenericXLog analog,
         embedding.c:651-686) — every add()/delete() is appended and fsync'd
         BEFORE the device mutation.  load(snapshot, wal=path) replays the
         tail; save() truncates the replayed prefix (see api.HnswIndex.save).
         Reference discipline being carried over: per-insert durability
-        applies to ALL writers, not just the single-chip one."""
+        applies to ALL writers, not just the single-chip one.
+
+        ``auto_checkpoint_bytes`` bounds the log: past the threshold, the
+        next completed mutation snapshots to ``snapshot_path`` (default
+        ``path + ".ckpt.npz"``), truncating the replayed prefix — the
+        checkpoint-bounded WAL discipline (see api.HnswIndex.enable_wal)."""
         from ..wal import WalWriter
 
         self._wal = WalWriter(path, self.config)
+        self._wal_auto_bytes = (int(auto_checkpoint_bytes)
+                                if auto_checkpoint_bytes else None)
+        self._wal_snapshot_path = snapshot_path or (path + ".ckpt.npz")
+
+    def _maybe_auto_checkpoint(self) -> None:
+        """Post-mutation checkpoint trigger (see api.HnswIndex): every
+        logged record is applied on device at call time, so snapshot +
+        truncate never drops an acknowledged write."""
+        if (self._wal is not None and not self._wal_replaying
+                and getattr(self, "_wal_auto_bytes", None) is not None
+                and self._wal.tell() >= self._wal_auto_bytes):
+            self.save(self._wal_snapshot_path)
 
     # ------------------------------------------------------------------ #
 
@@ -527,6 +548,7 @@ class ShardedHnswIndex:
             self._qvec = None
             self._qscale = None
             self._qvec_counts = None
+        self._maybe_auto_checkpoint()
 
     def build(self, vectors, labels=None) -> None:
         vectors = self._check_dims(vectors)
@@ -1221,6 +1243,7 @@ class ShardedHnswIndex:
         arrays[3] = self._to_mesh(dlt)
         self._arrays = tuple(arrays)
         self.counters["n_deleted"] += n_new
+        self._maybe_auto_checkpoint()
         return n_new
 
     def delete_where(self, mask) -> int:
@@ -1248,6 +1271,7 @@ class ShardedHnswIndex:
         arrays[3] = self._to_mesh(dlt)
         self._arrays = tuple(arrays)
         self.counters["n_deleted"] += n_new
+        self._maybe_auto_checkpoint()
         return n_new
 
     def vacuum(self) -> Dict[str, int]:
