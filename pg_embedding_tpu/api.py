@@ -233,6 +233,10 @@ class HnswIndex:
         # same c/N exact fit (2.07e10/N) meets the packed plateau at ~2.2M.
         # _use_exact picks this threshold when packed_traversal is on.
         self.exact_threshold_packed = 2_700_000
+        # filtered-search routing: below this allowed-fraction, auto mode
+        # serves `where=` via the masked exact sweep instead of widening
+        # the graph walk (measured crossover, benchmarks/bench_filtered.py)
+        self.filter_exact_selectivity = 0.25
         # int8 traversal with exact rerank: quarters the graph walk's HBM
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.
@@ -793,14 +797,16 @@ class HnswIndex:
                      else self.exact_threshold)
         return (self.n_nodes <= threshold and batch >= 32)
 
-    def _filter_to_excluded(self, where) -> Optional[jax.Array]:
+    def _filter_to_excluded(self, where
+                            ) -> Tuple[Optional[jax.Array], int]:
         """Normalize a search filter into a device 'excluded' bool[cap]
-        array. ``where`` is either a bool mask over node ids (True = allowed)
+        array plus the allowed-row count (the router's selectivity input).
+        ``where`` is either a bool mask over node ids (True = allowed)
         or an array of allowed labels (predicate pushdown — a capability the
         reference lacks; filtered rows behave exactly like tombstones:
         routable waypoints excluded from results)."""
         if where is None:
-            return None
+            return None, self.n_nodes
         n = self.n_nodes
         where = np.asarray(where)
         if where.dtype == bool:
@@ -813,7 +819,7 @@ class HnswIndex:
             allowed = np.isin(self._labels[:n], where.astype(np.uint64))
         excluded = np.ones(self._graph.capacity, bool)
         excluded[:n] = ~allowed
-        return jnp.asarray(excluded)
+        return jnp.asarray(excluded), int(allowed.sum())
 
     def search(self, queries, k: int, ef: Optional[int] = None,
                mode: str = "auto", where=None
@@ -846,11 +852,21 @@ class HnswIndex:
         b = queries.shape[0]
         if mode not in ("auto", "graph", "exact", "sweep_pq"):
             raise ValueError(f"unknown search mode: {mode!r}")
-        excluded = self._filter_to_excluded(where)
+        excluded, n_allowed = self._filter_to_excluded(where)
         if mode == "sweep_pq":
             self.counters["n_searches"] += b
             return self.pq_sweep_search(queries, k, excluded=excluded)
-        if mode == "exact" or (mode == "auto" and self._use_exact(b)):
+        # selective filters route to the exact sweep: a graph walk under a
+        # filter that excludes most rows degenerates toward ef ~ n_nodes
+        # (filtered waypoints fill beam slots without surfacing), while the
+        # masked exact sweep's cost is selectivity-independent — the
+        # planner-analog decision the reference makes with amcostestimate
+        # (embedding.c:393-436); threshold measured, see BASELINE.md
+        selective = (excluded is not None and
+                     n_allowed < self.filter_exact_selectivity
+                     * max(self.n_nodes, 1))
+        if mode == "exact" or (mode == "auto"
+                               and (self._use_exact(b) or selective)):
             self.counters["n_searches"] += b
             self.counters["n_exact_routed"] = (
                 self.counters.get("n_exact_routed", 0) + b)
@@ -858,9 +874,7 @@ class HnswIndex:
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(max(ef, 1))
 
-        n = self.n_nodes
-        if excluded is not None:
-            n = int(n - np.asarray(excluded)[: self.n_nodes].sum())
+        n = n_allowed
         qdev = jnp.asarray(queries)
         dead = (self._graph.deleted if excluded is None
                 else self._graph.deleted | excluded)
@@ -1421,7 +1435,7 @@ class HnswScan:
         self._ef = ef
         # the where-filter is snapshotted at open (rescan to refresh);
         # tombstones are re-read per fetch so concurrent deletes are seen
-        self._excluded = index._filter_to_excluded(where)
+        self._excluded, _ = index._filter_to_excluded(where)
         self._buf_d: list = []                          # undelivered rows
         self._buf_l: list = []
         self._seen: set = set()                         # returned node ids

@@ -157,6 +157,9 @@ class ShardedHnswIndex:
         # per-shard auto-routing crossover (see _use_exact)
         self.exact_threshold = 5_500_000   # per shard; see api.py note
         self.exact_threshold_packed = 2_700_000
+        # filtered-search routing (see api.HnswIndex): below this allowed
+        # fraction, auto mode serves `where=` via the masked exact sweep
+        self.filter_exact_selectivity = 0.25
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         # multi-slice topology hint: number of ICI slices the mesh spans
@@ -1087,7 +1090,18 @@ class ShardedHnswIndex:
         if mode == "sweep_pq":
             self.counters["n_searches"] += bq
             return self.pq_sweep_search(queries, k, where=where)
-        if mode == "exact" or (mode == "auto" and self._use_exact(bq)):
+        # selective filters route to the masked exact sweep (see
+        # api.HnswIndex.search: filtered waypoints fill beam slots without
+        # surfacing, degenerating the widening loop; sweep cost is
+        # selectivity-independent)
+        host_mask = self._filter_mask(where)
+        n_allowed = (self.n_nodes - int(host_mask.sum())
+                     if where is not None else self.n_nodes)
+        selective = (where is not None and
+                     n_allowed < self.filter_exact_selectivity
+                     * max(self.n_nodes, 1))
+        if mode == "exact" or (mode == "auto"
+                               and (self._use_exact(bq) or selective)):
             self.counters["n_searches"] += bq
             self.counters["n_exact_routed"] = (
                 self.counters.get("n_exact_routed", 0) + bq)
@@ -1095,11 +1109,9 @@ class ShardedHnswIndex:
         ef = self.config.ef_search if ef is None else int(ef)
         ef = self._bucket_ef(ef)
         qdev = jnp.asarray(queries)
-        excluded = self._filter_to_excluded(where)
+        excluded = self._to_mesh(host_mask)
 
-        n = self.n_nodes
-        if where is not None:
-            n = int(n - np.asarray(excluded).sum())
+        n = n_allowed
         variant = self._traversal_variant()
         if variant in ("packed", "pq", "cast"):
             aux = self._ensure_packed()

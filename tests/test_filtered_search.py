@@ -100,3 +100,48 @@ def test_sharded_filtered_search(rng):
     rec = np.mean([len(set(lg[i][vg[i]]) & set(le[i][ve[i]])) / 10
                    for i in range(8)])
     assert rec >= 0.85, rec
+
+
+def test_selective_filter_routes_to_exact(built, rng):
+    """Round-4 router rule: a filter allowing under
+    filter_exact_selectivity of rows sends auto mode to the masked exact
+    sweep (selectivity-independent cost) instead of the degenerate
+    widening walk — the amcostestimate-analog decision."""
+    idx, pts = built
+    qs = rng.normal(size=(64, 16)).astype(np.float32)
+    # 2% selectivity — far under the threshold
+    allowed = np.arange(0, 500, 50, dtype=np.uint64)
+    before = idx.counters.get("n_exact_routed", 0)
+    d, l, v = idx.search(qs, 5, mode="auto", where=allowed)
+    assert idx.counters.get("n_exact_routed", 0) == before + 64
+    assert set(l[v].tolist()) <= set(allowed.tolist())
+    # exact route == recall 1.0 vs the filtered oracle
+    d_e, l_e, v_e = idx.search(qs, 5, mode="exact", where=allowed)
+    np.testing.assert_array_equal(l[v], l_e[v_e])
+
+
+def test_wide_filter_stays_on_graph(built, rng):
+    """A permissive filter (80% allowed) must NOT trigger the selective
+    route on its own (batch < 32 keeps _use_exact off)."""
+    idx, pts = built
+    qs = rng.normal(size=(4, 16)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[::5] = False
+    before = idx.counters.get("n_exact_routed", 0)
+    idx.search(qs, 5, mode="auto", where=mask)
+    assert idx.counters.get("n_exact_routed", 0) == before
+
+
+def test_sharded_selective_filter_routes_to_exact(rng):
+    from pg_embedding_tpu import ShardedHnswIndex
+
+    pts = rng.normal(size=(600, 16)).astype(np.float32)
+    idx = ShardedHnswIndex(HnswConfig(dims=16, m=8, ef_construction=48,
+                                      ef_search=32), max_insert_batch=64)
+    idx.add(pts, np.arange(600))
+    qs = rng.normal(size=(64, 16)).astype(np.float32)
+    allowed = np.arange(0, 600, 40, dtype=np.uint64)
+    before = idx.counters.get("n_exact_routed", 0)
+    d, l, v = idx.search(qs, 5, mode="auto", where=allowed)
+    assert idx.counters.get("n_exact_routed", 0) == before + 64
+    assert set(l[v].tolist()) <= set(allowed.tolist())
