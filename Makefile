@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: all test test-fast bench native clean dist
+.PHONY: all test test-fast bench native ci clean dist
 
 all: native
 
@@ -20,6 +20,11 @@ test-fast:
 
 bench:
 	$(PY) bench.py
+
+# execute .github/workflows/ci.yml's steps verbatim and regenerate
+# CI_RUN.md (tools/run_ci.py — the no-GitHub-runner CI gate)
+ci:
+	$(PY) tools/run_ci.py
 
 clean:
 	rm -rf csrc/build __pycache__ .pytest_cache

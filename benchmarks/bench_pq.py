@@ -34,7 +34,8 @@ from pg_embedding_tpu.ops.pq_sweep import (  # noqa: E402
 
 N = int(os.environ.get("PQ_N", 1_000_000))
 DIMS, M, EFC, K, NQ, REPS = 128, 16, 64, 10, 1024, 4
-GROUPS = int(os.environ.get("PQ_GROUPS", 16))
+GROUPS_LIST = [int(g) for g in
+               os.environ.get("PQ_GROUPS", "16,32").split(",")]
 CACHE_10M = "/tmp/bench10m_idx.npz"
 
 
@@ -100,7 +101,7 @@ def main():
         log(f"build: {N / (time.time() - t0):.0f} vec/s")
         del pts
 
-    out = {"n": idx.n_nodes, "dims": DIMS, "pq_groups": GROUPS}
+    out = {"n": idx.n_nodes, "dims": DIMS}
     qdev = jnp.asarray(qs)
     _, ol, _ = idx.exact_search(qs, K)
     oracle = ol.astype(np.int64)
@@ -109,40 +110,59 @@ def main():
     mv = cfg.metric.value
     ef = 64
 
-    # pq packed records
-    idx.packed_traversal = True
-    idx.packed_dtype = "pq"
-    idx.pq_groups = GROUPS
-    t0 = time.time()
-    pc, _ = idx._ensure_packed()          # FLAT u8[cap, maxM*G]
-    np.asarray(pc[0, 0])
-    log(f"pq pack (train+encode+gather): {time.time() - t0:.1f}s; "
-        f"records {pc.nbytes / 1e9:.2f} GB")
-    cb = idx._pq_codebook
-    rot = idx._pq_rot
-    for t in (4, 8):
-        serve(lambda q, t=t: search_graph_pq(
-            idx.graph, q, pc, cb, rot, ef=ef, metric_value=mv,
-            expand_width=t),
-            qdev, f"pq packed T={t} ef={ef}", oracle, out, f"pq_t{t}")
-    serve(lambda q: search_graph_pq(
-        idx.graph, q, pc, cb, rot, ef=2 * ef, metric_value=mv,
-        expand_width=8),
-        qdev, f"pq packed T=8 ef={2 * ef}", oracle, out, "pq_t8_ef128")
-    idx._pcodes = None
-    pc = None
+    for groups in GROUPS_LIST:
+        # records [cap, maxM*G] u8 alongside vectors+links: skip widths
+        # that cannot fit this chip (the 10M G=32 case: 10.2 GB records
+        # + 6.5 GB graph > 16 GB HBM)
+        rec_gb = idx.graph.capacity * cfg.max_m * groups / 1e9
+        base_gb = (idx.graph.vectors.nbytes
+                   + idx.graph.links.nbytes) / 1e9
+        if rec_gb + base_gb > 14.5:
+            log(f"G={groups}: records {rec_gb:.1f} GB + graph "
+                f"{base_gb:.1f} GB > HBM, skipped")
+            out[f"g{groups}_skipped"] = "records_over_hbm"
+            continue
+        # pq packed records
+        idx.packed_traversal = True
+        idx.packed_dtype = "pq"
+        idx.pq_groups = groups
+        idx._pq_codebook = None
+        idx._pq_codes = None
+        t0 = time.time()
+        pc, _ = idx._ensure_packed()          # FLAT u8[cap, maxM*G]
+        np.asarray(pc[0, 0])
+        log(f"G={groups} pq pack (train+encode+gather): "
+            f"{time.time() - t0:.1f}s; records {pc.nbytes / 1e9:.2f} GB")
+        cb = idx._pq_codebook
+        rot = idx._pq_rot
+        for t in (4, 8):
+            serve(lambda q, t=t: search_graph_pq(
+                idx.graph, q, pc, cb, rot, ef=ef, metric_value=mv,
+                expand_width=t),
+                qdev, f"pq G={groups} T={t} ef={ef}", oracle, out,
+                f"g{groups}_pq_t{t}")
+        serve(lambda q: search_graph_pq(
+            idx.graph, q, pc, cb, rot, ef=2 * ef, metric_value=mv,
+            expand_width=8),
+            qdev, f"pq G={groups} T=8 ef={2 * ef}", oracle, out,
+            f"g{groups}_pq_t8_ef128")
+        idx._pcodes = None
+        pc = None
 
-    # compressed brute-force sweep (mode="sweep_pq"): sequential ADC over
-    # the per-row codes (G bytes/row vs the exact sweep's 4*D) + exact
-    # rerank — no graph traversal at all
-    codes = idx._ensure_pq_codes()
-    np.asarray(codes[0, 0])
-    log(f"row codes {codes.nbytes / 1e9:.2f} GB")
-    for pool in (64, 128, 256):
-        serve(lambda q, p=pool: (*sweep(
-            q, codes, cb, rot, idx.graph.vectors, K, cfg.metric,
-            n_valid=idx.n_nodes, deleted=idx.graph.deleted, pool=p), None),
-            qdev, f"pq sweep pool={pool}", oracle, out, f"sweep_p{pool}")
+        # compressed brute-force sweep (mode="sweep_pq"): sequential ADC
+        # over the per-row codes (G bytes/row vs the exact sweep's 4*D) +
+        # exact rerank — no graph traversal at all
+        codes = idx._ensure_pq_codes()
+        np.asarray(codes[0, 0])
+        log(f"row codes {codes.nbytes / 1e9:.2f} GB")
+        for pool in (64, 128, 256):
+            serve(lambda q, p=pool: (*sweep(
+                q, codes, cb, rot, idx.graph.vectors, K, cfg.metric,
+                n_valid=idx.n_nodes, deleted=idx.graph.deleted, pool=p),
+                None),
+                qdev, f"pq G={groups} sweep pool={pool}", oracle, out,
+                f"g{groups}_sweep_p{pool}")
+        idx._pq_codes = None
 
     if N < 3_000_000:
         # int8 packed head-to-head (fits below ~2M@128d)

@@ -40,6 +40,29 @@ from .core.search import (search_graph, search_graph_packed,
                           search_graph_quantized)
 from .ops.bruteforce import exact_search as _bruteforce
 from .ops.pallas_bruteforce import pallas_exact_search as _pallas_bruteforce
+from .utils.locking import RWLock
+
+
+def _write_locked(fn):
+    """Mutator: exclusive section (MURSIW single-writer discipline,
+    embedding.c:624-631 — and stricter: the insert path donates device
+    buffers, so an overlapping read could gather from a re-used buffer)."""
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rwlock.write():
+            return fn(self, *a, **k)
+    return wrapper
+
+
+def _read_locked(fn):
+    """Reader: shared section; any number may overlap, none with a writer.
+    Reentrant under this thread's own write (auto-checkpoint calls save()
+    from inside add())."""
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._rwlock.read():
+            return fn(self, *a, **k)
+    return wrapper
 
 _SAVE_FORMAT_VERSION = 1
 
@@ -138,7 +161,17 @@ def _save_exact8_chunk_cache(cache: dict) -> None:
 
 
 class HnswIndex:
-    """Flat-NSW approximate nearest neighbor index on TPU."""
+    """Flat-NSW approximate nearest neighbor index on TPU.
+
+    Thread-safety contract — MURSIW, the reference's model made explicit
+    (embedding.c:624-631): any number of concurrent reader threads
+    (search/exact_search/pq_sweep_search/save/scan fetches), at most one
+    writer (build/add/delete/delete_where) at a time, and reads never
+    overlap writes.  The last rule is stricter than the reference's page
+    locks because the insert path DONATES device buffers in place — an
+    overlapping read could gather from memory XLA has re-used.  All public
+    methods take the appropriate side of an internal reader-writer lock
+    (utils/locking.py); callers need no external synchronization."""
 
     def __init__(self, config: HnswConfig, *,
                  initial_capacity: int = 1024,
@@ -247,6 +280,9 @@ class HnswIndex:
         self._wal_replaying = False
         self._wal_auto_bytes = None       # enable_wal(auto_checkpoint_bytes=)
         self._wal_snapshot_path = None
+        # MURSIW contract (see class docstring / utils.locking): writers
+        # exclusive, readers shared — donation makes overlap unsafe
+        self._rwlock = RWLock()
         # packed traversal: co-locate every node's NEIGHBORS' int8 codes in
         # one contiguous record (int8[cap, maxM, D]), so a beam step gathers
         # T records instead of T*maxM random rows — the page-locality analog
@@ -397,6 +433,7 @@ class HnswIndex:
             self._qvec = None
             self._qvec_rows = 0
 
+    @_write_locked
     def add(self, vectors, labels=None) -> np.ndarray:
         """Incremental insert (aminsert analog). Returns assigned node ids.
 
@@ -592,6 +629,7 @@ class HnswIndex:
             _save_exact8_chunk_cache(cache)
         return best[0]
 
+    @_write_locked
     def build(self, vectors, labels=None) -> None:
         """Bulk build (ambuild analog): preallocates capacity for the whole
         corpus up front (the unlogged-build analog, embedding.c:503-551)."""
@@ -626,6 +664,7 @@ class HnswIndex:
             b *= 2
         return b
 
+    @_read_locked
     def search_ids(self, queries, ef: Optional[int] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Raw searchBaseLayer results: (dists [B, ef], node ids [B, ef]),
@@ -821,6 +860,7 @@ class HnswIndex:
         excluded[:n] = ~allowed
         return jnp.asarray(excluded), int(allowed.sum())
 
+    @_read_locked
     def search(self, queries, k: int, ef: Optional[int] = None,
                mode: str = "auto", where=None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -932,6 +972,7 @@ class HnswIndex:
         ef = self.config.ef_search if ef is None else int(ef)
         return HnswScan(self, query, self._bucket_ef(max(ef, 1)), where)
 
+    @_read_locked
     def exact_search(self, queries, k: int, engine: str = "auto",
                      excluded=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -967,6 +1008,7 @@ class HnswIndex:
         labels = np.where(valid, self._labels[np.maximum(i, 0)], 0)
         return d, labels.astype(np.uint64), valid
 
+    @_read_locked
     def pq_sweep_search(self, queries, k: int, pool: Optional[int] = None,
                         excluded=None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1008,6 +1050,7 @@ class HnswIndex:
     # delete / vacuum (tombstones)
     # ------------------------------------------------------------------ #
 
+    @_write_locked
     def delete(self, labels) -> int:
         """Tombstone every node whose label matches (ambulkdelete analog,
         embedding.c:918-932). Nodes stay in the graph as routable waypoints;
@@ -1028,6 +1071,7 @@ class HnswIndex:
         self._maybe_auto_checkpoint()
         return len(idxs)
 
+    @_write_locked
     def delete_where(self, mask) -> int:
         """Tombstone by node-id mask — the callback form of ambulkdelete."""
         mask = np.asarray(mask, bool).reshape(-1)
@@ -1114,6 +1158,7 @@ class HnswIndex:
         self.pq_sweep_pool = best
         return TuneResult(best, achieved, met)
 
+    @_read_locked
     def compact(self) -> "HnswIndex":
         """Rebuild the index over live (non-tombstoned) vectors only,
         reclaiming dead space — a capability the reference lacks entirely
@@ -1138,6 +1183,7 @@ class HnswIndex:
             fresh.build(vecs, labels)
         return fresh
 
+    @_read_locked
     def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
         """Validate graph invariants — the debug-mode analog of the
         reference's runtime asserts (SURVEY.md §5 'race detection'):
@@ -1164,6 +1210,7 @@ class HnswIndex:
             raise AssertionError(f"graph integrity violations: {viol}")
         return viol
 
+    @_read_locked
     def vacuum(self) -> Dict[str, int]:
         """Stats only — space is never reclaimed (amvacuumcleanup,
         embedding.c:867-878)."""
@@ -1223,6 +1270,7 @@ class HnswIndex:
             out[off:hi] = np.asarray(arr[off:hi], out.dtype)
         return out
 
+    @_read_locked
     def save(self, path: str, compressed: Optional[bool] = None,
              truncate_wal: bool = True) -> None:
         """Serialize the full device state. Like the reference, everything
@@ -1467,6 +1515,10 @@ class HnswScan:
     def _fetch(self) -> None:
         """Run (or widen + re-run) the search, appending only new live rows
         to the cache — one iteration of the embedding.c:297-366 machine."""
+        with self._idx._rwlock.read():
+            self._fetch_locked()
+
+    def _fetch_locked(self) -> None:
         idx = self._idx
         if not self._first:
             if self._ef >= max(idx.n_nodes, 1):

@@ -287,8 +287,8 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         if pcodes is not None:
             codes = pcodes[safe_cur]                     # [T, maxM, D or G]
             if pq_codebook is not None:                  # PQ codes
-                from ..ops.pq import pq_decode
-                nvecs = pq_decode(codes.reshape(tm, -1), pq_codebook)
+                from ..ops.pq import pq_decode_mxu
+                nvecs = pq_decode_mxu(codes.reshape(tm, -1), pq_codebook)
             elif pscales is not None:                    # int8 + scales
                 scales = pscales[safe_cur]               # [T, maxM]
                 nvecs = (codes.reshape(tm, -1).astype(jnp.float32) *

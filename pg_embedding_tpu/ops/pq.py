@@ -197,10 +197,30 @@ def train_opq(sample: jax.Array, *, groups: int, iters: int = 8,
 def pq_decode(codes: jax.Array, codebook: jax.Array,
               dtype=jnp.float32) -> jax.Array:
     """Reconstruct rows from codes: uint8[..., G] -> dtype[..., D].
-    A register-level table gather (the codebook sits in VMEM) — the
-    TPU-native ADC decode used inside traversal and sweep hot loops."""
+    Exact table-gather decode — the reference form (used by training and
+    tests).  NOT for hot loops: a [n, G] two-level gather scalarizes on
+    TPU (measured: the PQ traversal ran 10x slower than int8 packed with
+    per-hop decode dominating, /tmp smoke 2026-08-19); serving paths use
+    pq_decode_mxu below."""
     groups, _, sub = codebook.shape
     flat = codes.reshape(-1, groups).astype(jnp.int32)
     subvecs = codebook.astype(dtype)[
         jnp.arange(groups)[None, :], flat]                 # [n, G, sub]
     return subvecs.reshape(*codes.shape[:-1], groups * sub)
+
+
+def pq_decode_mxu(codes: jax.Array, codebook: jax.Array,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """MXU decode for hot loops: one-hot(codes) einsum'd against the
+    codebook — XLA fuses the one-hot generation into the dot, so nothing
+    [n, G, 256]-sized ever reaches HBM (measured 1.4ms vs the gather's
+    2.7ms at [262k, 16] standalone, and ~10x inside the vmapped traversal
+    loop where the gather lowers far worse).  bf16 codebook rounding
+    (<= 0.4% relative) is noise against PQ quantization error, and every
+    consumer exact-reranks surfaced candidates in f32.  Returns f32."""
+    groups, _, sub = codebook.shape
+    flat = codes.reshape(-1, groups).astype(jnp.int32)
+    oh = jax.nn.one_hot(flat, N_CENTROIDS, dtype=dtype)    # [n, G, 256]
+    out = jnp.einsum("ngc,gcs->ngs", oh, codebook.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(*codes.shape[:-1], groups * sub)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import Metric, resolve_metric
 from .bruteforce import _rerank_exact
 from .distance import pairwise_dist
-from .pq import pq_decode
+from .pq import pq_decode_mxu
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "metric_value", "chunk"))
@@ -55,7 +55,9 @@ def _pq_pool_impl(queries, codes, codebook, rotation, n_valid, deleted, *,
         # bf16 decoded rows select pairwise_dist's fast-MXU path (one bf16
         # pass, f32 accumulation) — the decode error is far below the PQ
         # quantization error the pool already tolerates
-        rows = pq_decode(cblk, codebook, dtype=jnp.bfloat16)   # [chunk, D]
+        # bf16 rows keep pairwise_dist on its fast-MXU path (one bf16
+        # pass, f32 accumulation) — see the original decode note
+        rows = pq_decode_mxu(cblk, codebook).astype(jnp.bfloat16)
         d = pairwise_dist(q, rows, metric_value)               # [B, chunk]
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         valid = (ids < n_valid) & ~dd[None, :]

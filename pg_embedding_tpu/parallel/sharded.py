@@ -35,6 +35,8 @@ from ..config import HnswConfig
 from ..core.build import insert_batch_core, quantize_rows
 from ..core.graph import GraphState
 from ..core.search import _search_one
+from ..api import _read_locked, _write_locked
+from ..utils.locking import RWLock
 
 AXIS = "shard"
 
@@ -251,6 +253,9 @@ class ShardedHnswIndex:
         self._wal_replaying = False
         self._wal_auto_bytes = None      # enable_wal(auto_checkpoint_bytes=)
         self._wal_snapshot_path = None
+        # MURSIW contract (see api.HnswIndex docstring): writers exclusive,
+        # readers shared — slab donation makes read/write overlap unsafe
+        self._rwlock = RWLock()
 
     def enable_wal(self, path: str,
                    auto_checkpoint_bytes: Optional[int] = None,
@@ -454,6 +459,7 @@ class ShardedHnswIndex:
             self._qvec, self._qscale = self._quant_step()(self._arrays)
             self._qvec_counts = counts_now.copy()
 
+    @_write_locked
     def add(self, vectors, labels=None) -> None:
         """Round-robin partition + SPMD slab inserts on every shard.
 
@@ -553,6 +559,7 @@ class ShardedHnswIndex:
             self._qvec_counts = None
         self._maybe_auto_checkpoint()
 
+    @_write_locked
     def build(self, vectors, labels=None) -> None:
         vectors = self._check_dims(vectors)
         if self.n_nodes != 0:
@@ -983,6 +990,7 @@ class ShardedHnswIndex:
         self._step_cache[key] = fn
         return fn
 
+    @_read_locked
     def pq_sweep_search(self, queries, k: int, pool: Optional[int] = None,
                         where=None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1042,6 +1050,7 @@ class ShardedHnswIndex:
                         self._labels[i, : counts[i]], allowed)
         return excluded
 
+    @_read_locked
     def exact_search(self, queries, k: int, where=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Sharded brute-force exact k-NN (seq-scan ground truth analog,
@@ -1075,6 +1084,7 @@ class ShardedHnswIndex:
         per_shard = self.n_nodes / max(self.n_shards, 1)
         return per_shard <= threshold and batch >= 32
 
+    @_read_locked
     def search(self, queries, k: int, ef: Optional[int] = None,
                mode: str = "auto", where=None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1237,6 +1247,7 @@ class ShardedHnswIndex:
         ef = self.config.ef_search if ef is None else int(ef)
         return ShardedScan(self, query, self._bucket_ef(max(ef, 1)), where)
 
+    @_write_locked
     def delete(self, labels) -> int:
         labels = np.asarray(labels, np.uint64).reshape(-1)
         dlt = self._to_host(self._arrays[3]).copy()
@@ -1258,6 +1269,7 @@ class ShardedHnswIndex:
         self._maybe_auto_checkpoint()
         return n_new
 
+    @_write_locked
     def delete_where(self, mask) -> int:
         """Tombstone by global-insert-position mask — the callback form of
         ambulkdelete (see api.HnswIndex.delete_where; positions are the
@@ -1286,6 +1298,7 @@ class ShardedHnswIndex:
         self._maybe_auto_checkpoint()
         return n_new
 
+    @_read_locked
     def vacuum(self) -> Dict[str, int]:
         n = self.n_nodes
         counts = self.shard_counts
@@ -1296,6 +1309,7 @@ class ShardedHnswIndex:
                 "capacity": self.capacity_per_shard * self.n_shards,
                 "n_shards": self.n_shards}
 
+    @_read_locked
     def compact(self) -> "ShardedHnswIndex":
         """Rebuild over live vectors only (see api.HnswIndex.compact).
         Returns a NEW sharded index on the same mesh."""
@@ -1324,6 +1338,7 @@ class ShardedHnswIndex:
             fresh.build(np.concatenate(vecs), np.concatenate(labels))
         return fresh
 
+    @_read_locked
     def check_integrity(self, raise_on_error: bool = True) -> Dict[str, int]:
         """Per-shard graph invariant validation (see api.HnswIndex)."""
         counts = self.shard_counts
@@ -1356,6 +1371,7 @@ class ShardedHnswIndex:
     def _shard_file(self, path: str, i: int) -> str:
         return path[:-4] + f".shard{i}.npz"
 
+    @_read_locked
     def save(self, path: str, per_shard: bool = False,
              truncate_wal: bool = True) -> None:
         """Serialize all shards (same format discipline as HnswIndex.save:
@@ -1628,6 +1644,10 @@ class ShardedScan:
         return self._no_more and not self._buf_d
 
     def _fetch(self) -> None:
+        with self._idx._rwlock.read():
+            self._fetch_locked()
+
+    def _fetch_locked(self) -> None:
         idx = self._idx
         if not self._first:
             if self._ef >= max(idx.n_nodes, 1):
