@@ -82,7 +82,15 @@ def pairwise_dist(queries: jax.Array, points: jax.Array, metric) -> jax.Array:
     # accumulation (2x MXU throughput, half the HBM stream); norms always
     # accumulate in f32. f32 storage keeps the dot in full precision.
     bf16 = points.dtype == jnp.bfloat16
-    qd = queries.astype(jnp.bfloat16) if bf16 else queries
+    # The CPU executor cannot run BF16 x BF16 = F32 dots (DotThunk); it
+    # also has no bf16 fast path to win, so upcast there — operands are
+    # already bf16-rounded, making the f32 dot strictly more accurate.
+    if bf16 and jax.default_backend() == "cpu":
+        points = points.astype(jnp.float32)
+        bf16 = False
+        qd = queries
+    else:
+        qd = queries.astype(jnp.bfloat16) if bf16 else queries
     pf = points.astype(jnp.float32)
     # f32 storage: force true-f32 dots (TPU f32 matmuls otherwise run a
     # single bf16 MXU pass — DEFAULT precision — whose O(1) absolute score

@@ -210,14 +210,21 @@ def pq_decode(codes: jax.Array, codebook: jax.Array,
 
 
 def pq_decode_mxu(codes: jax.Array, codebook: jax.Array,
-                  dtype=jnp.bfloat16) -> jax.Array:
+                  dtype=None) -> jax.Array:
     """MXU decode for hot loops: one-hot(codes) einsum'd against the
     codebook — XLA fuses the one-hot generation into the dot, so nothing
     [n, G, 256]-sized ever reaches HBM (measured 1.4ms vs the gather's
     2.7ms at [262k, 16] standalone, and ~10x inside the vmapped traversal
     loop where the gather lowers far worse).  bf16 codebook rounding
     (<= 0.4% relative) is noise against PQ quantization error, and every
-    consumer exact-reranks surfaced candidates in f32.  Returns f32."""
+    consumer exact-reranks surfaced candidates in f32.  Returns f32.
+
+    dtype resolves per backend at trace time: bf16 on TPU (MXU-native),
+    f32 elsewhere — the CPU executor rejects BF16 x BF16 = F32 dots and
+    has no MXU to feed anyway."""
+    if dtype is None:
+        dtype = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+                 else jnp.float32)
     groups, _, sub = codebook.shape
     flat = codes.reshape(-1, groups).astype(jnp.int32)
     oh = jax.nn.one_hot(flat, N_CENTROIDS, dtype=dtype)    # [n, G, 256]
