@@ -110,7 +110,12 @@ def main():
             log(f"resumed from checkpoint at {done:,} rows "
                 f"(capacity {idx.graph.capacity:,})")
         else:
-            idx = HnswIndex(cfg, max_insert_batch=256)
+            # pre-size to the final capacity: doubling growth from the 1M
+            # chunked adds would otherwise land on ~16M rows at hi=9M
+            # (max(need, 2*cap)), and the oracle sweep over a 16M-capacity
+            # vector array OOMs HBM (observed r4: 23.4G vs 15.75G)
+            idx = HnswIndex(cfg, initial_capacity=N + 256,
+                            max_insert_batch=256)
         # chunked add: progress visibility + crash insurance on a shared
         # dev tunnel whose worker can restart mid-run (observed r3); the
         # per-2.5M checkpoints are excluded from the build-rate clock
