@@ -190,6 +190,46 @@ def main():
     out["quant_qps_t8"] = round(qps, 1)
     out["quant_recall_t8"] = round(r, 4)
 
+    if os.environ.get("B10M_PQ") == "1":
+        # PQ-packed traversal at 10M (ROADMAP r4 #7): the regime int8
+        # records cannot reach (maxM*D = 41GB).  G=16 records at 10M-cap
+        # are ~5.2GB; resident with vectors (5.1) + links (1.3) = ~11.6GB.
+        # G=32 (10.3GB records) does NOT fit next to the corpus on 16GB.
+        from pg_embedding_tpu.core.search import search_graph_pq
+
+        idx._qvec = idx._qscale = None   # drop the quantized shadow first
+        idx._qvec_rows = 0
+        for groups in (16,):
+            idx.packed_traversal = True
+            idx.packed_dtype = "pq"
+            idx.pq_groups = groups
+            idx._pq_codebook = None
+            idx._pq_codes = None
+            t0 = time.time()
+            pc, _ = idx._ensure_packed()          # FLAT u8[cap, maxM*G]
+            np.asarray(pc[0, 0])
+            log(f"G={groups} pq pack (train+encode+gather): "
+                f"{time.time() - t0:.1f}s; records {pc.nbytes / 1e9:.2f} GB")
+            cb, rot = idx._pq_codebook, idx._pq_rot
+            for t, ef in ((8, EFS), (8, 2 * EFS)):
+                d, i, _ = search_graph_pq(idx.graph, qdev, pc, cb, rot,
+                                          ef=ef, metric_value=0,
+                                          expand_width=t)
+                r = recall(np.asarray(i), oracle)
+                t0 = time.time()
+                for _ in range(REPS):
+                    d, i, _ = search_graph_pq(idx.graph, qdev, pc, cb, rot,
+                                              ef=ef, metric_value=0,
+                                              expand_width=t)
+                np.asarray(d)
+                qps = REPS * NQ / (time.time() - t0)
+                log(f"pq G={groups} T={t} ef={ef}: {qps:.0f} QPS, "
+                    f"recall@10 {r:.4f}")
+                out[f"pq_g{groups}_qps_t{t}_ef{ef}"] = round(qps, 1)
+                out[f"pq_g{groups}_recall_t{t}_ef{ef}"] = round(r, 4)
+            idx._pcodes = None
+            pc = None
+
     if os.environ.get("BENCH_10M_CPU") == "1":
         from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex
 

@@ -55,8 +55,9 @@ def _insert_pass(run_d, run_i, m, gid):
     return new_d, new_i
 
 
-def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
-                       del_ref, out_d_ref, out_i_ref, scores, run_d, run_i,
+def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref,
+                       del_ref, out_d_ref, out_i_ref, scores, pnorm_acc,
+                       run_d, run_i,
                        *, k: int, tile_n: int, metric_value: int,
                        n_tiles: int, d_tiles: int, select_head: int):
     ti = pl.program_id(1)
@@ -92,38 +93,48 @@ def _bruteforce_kernel(n_valid_ref, q_ref, qnorm_ref, pts_ref, pnorm_ref,
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [TILE_N, QT]
 
+    # Row norms are computed IN-KERNEL from the points tile already resident
+    # in VMEM for the matmul (a VPU square+lane-reduce, negligible next to
+    # the three MXU passes).  A host-side f32[N, 1] norms operand costs
+    # 128x lane padding in HBM — 7.7GB at 16M rows, the round-4 10M-oracle
+    # OOM — for 62MB of payload.
+    p32 = pts.astype(jnp.float32)
+    pn = jnp.sum(p32 * p32, axis=1, keepdims=True)  # [TILE_N, 1]
+
     @pl.when(di == 0)
     def _acc_init():
         scores[:] = _dot(p_hi, q_hi)
+        pnorm_acc[:] = pn
 
     @pl.when(di > 0)
     def _acc():
         scores[:] = scores[:] + _dot(p_hi, q_hi)
+        pnorm_acc[:] = pnorm_acc[:] + pn
 
     scores[:] = scores[:] + _dot(p_hi, q_lo)
     scores[:] = scores[:] + _dot(p_lo, q_hi)
 
     @pl.when(di == d_tiles - 1)
     def _select_phase():
-        _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
+        _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_acc, del_ref,
                              out_d_ref, out_i_ref, scores, run_d, run_i,
                              k=k, tile_n=tile_n, metric_value=metric_value,
                              n_tiles=n_tiles, select_head=select_head)
 
 
-def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
+def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_acc, del_ref,
                          out_d_ref, out_i_ref, scores, run_d, run_i, *,
                          k: int, tile_n: int, metric_value: int,
                          n_tiles: int, select_head: int):
     pq = scores[:]                                 # accumulated [TILE_N, QT]
     if metric_value == Metric.L2.value:
-        pnorm = pnorm_ref[:]                       # [TILE_N, 1] |p|^2
+        pnorm = pnorm_acc[:]                       # [TILE_N, 1] |p|^2
         qn = qnorm_ref[:]                          # [1, QT]    |q|^2
         s = jnp.maximum(pnorm + qn - 2.0 * pq, 0.0)
     elif metric_value == Metric.MANHATTAN.value:
         s = pq                                     # |a-b| sum, already final
     else:  # cosine
-        pnorm = pnorm_ref[:]
+        pnorm = pnorm_acc[:]
         qn = qnorm_ref[:]
         s = 1.0 - pq * jax.lax.rsqrt(jnp.maximum(pnorm * qn, 1e-30))
 
@@ -187,10 +198,12 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_ref, del_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric_value", "tile_n", "tile_q",
-                                    "tile_d", "interpret", "select_head"))
-def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
+                                    "tile_d", "interpret", "select_head",
+                                    "del_tiled"))
+def _pallas_exact(queries, points, deleted, n_valid, *, k: int,
                   metric_value: int, tile_n: int, tile_q: int, tile_d: int,
-                  interpret: bool, select_head: int = 64):
+                  interpret: bool, select_head: int = 64,
+                  del_tiled: bool = True):
     b, d = queries.shape
     n_pad = points.shape[0]
     n_tiles = n_pad // tile_n
@@ -208,6 +221,7 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
     )
     scratch_shapes = [
         pltpu.VMEM((tile_n, tile_q), jnp.float32),   # scores / qp acc
+        pltpu.VMEM((tile_n, 1), jnp.float32),        # |p|^2 acc (in-kernel)
         pltpu.VMEM((k, tile_q), jnp.float32),        # running top-k d
         pltpu.VMEM((k, tile_q), jnp.int32),          # running top-k i
     ]
@@ -215,6 +229,17 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
     # aux vectors as 2-D: 1-D blocked operands trip Mosaic/XLA layout
     # tiling mismatches
     qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
+
+    # deleted: a [N, 1] column in HBM pads 128x in the lane dim.  With no
+    # tombstones (del_tiled=False, the common serving/oracle case) the
+    # operand is ONE all-false (tile_n, 1) block mapped to every grid step,
+    # so the full-size column is never materialized.
+    if del_tiled:
+        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (0, 0),
+                                memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
                                metric_value=metric_value, n_tiles=n_tiles,
@@ -230,14 +255,16 @@ def _pallas_exact(queries, points, pnorms, deleted, n_valid, *, k: int,
                          memory_space=pltpu.VMEM),               # qnorms
             pl.BlockSpec((tile_n, tile_d), lambda qi, ti, di: (ti, di),
                          memory_space=pltpu.VMEM),               # points tile
-            pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
-                         memory_space=pltpu.VMEM),               # pnorm tile
-            pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
-                         memory_space=pltpu.VMEM),               # deleted
+            del_spec,                                            # deleted
         ],
         out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=scratch_shapes, interpret=interpret,
-    )(n_valid, queries, qnorms, points, pnorms, deleted)
+        # the in-kernel norm accumulator pushes the fast tile shapes ~1MB
+        # past Mosaic's default 16MB scoped-VMEM budget; v5e has 128MB of
+        # VMEM, so raise the cap rather than shrink the measured tiles
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(n_valid, queries, qnorms, points, deleted)
     # back to [B, K]
     return out_d.T, out_i.T
 
@@ -398,15 +425,6 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
     return best
 
 
-@jax.jit
-def _row_norms(points):
-    """Fused squared-row-norms: eagerly, ``sum(points**2)`` materializes a
-    full [N, D] f32 temporary — 5.1GB at 10M x 128d, an OOM next to the
-    resident index.  Under jit XLA fuses the square into the reduction
-    (reads N*D, writes N)."""
-    return jnp.sum(points.astype(jnp.float32) ** 2, axis=1)[:, None]
-
-
 def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
                         n_valid=None, deleted=None, tile_n: int | None = None,
                         tile_q: int | None = None,
@@ -509,21 +527,27 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     n_pad = ((points.shape[0] + tile_n - 1) // tile_n) * tile_n
     if n_pad != points.shape[0]:
         points = jnp.pad(points, ((0, n_pad - points.shape[0]), (0, 0)))
+    # Row norms are computed inside the kernel (see _bruteforce_kernel) —
+    # a host-side f32[N, 1] operand pads 128x in HBM.  Same for the deleted
+    # mask: with no tombstones a single all-false block stands in for the
+    # whole column (del_tiled=False below).
     if deleted is None:
-        deleted = jnp.zeros((n_pad,), jnp.bool_)
+        del_col = jnp.zeros((tile_n, 1), jnp.bool_)
+        del_tiled = False
     else:
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-    pnorms = _row_norms(points)
-    out_d, out_i = _pallas_exact(queries, points, pnorms,
-                                 (deleted.astype(jnp.int32) > 0)[:, None],
+        del_col = deleted[:, None]
+        del_tiled = True
+    out_d, out_i = _pallas_exact(queries, points, del_col,
                                  jnp.asarray(n, jnp.int32).reshape(1),
                                  k=k_run,
                                  metric_value=metric.value, tile_n=tile_n,
                                  tile_q=tile_q, tile_d=tile_d,
                                  interpret=bool(interpret),
-                                 select_head=int(select_head))
+                                 select_head=int(select_head),
+                                 del_tiled=del_tiled)
     if k_run != k:
         return _rerank_exact(queries[:b, : orig_points.shape[1]],
                              orig_points, out_i[:b], k=k,
