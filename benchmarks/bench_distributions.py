@@ -76,7 +76,10 @@ def main():
         log(f"=== family {name} (N={N}) ===")
         pts, qs = gen()
         cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=64)
-        idx = HnswIndex(cfg, max_insert_batch=256)
+        # pre-size: doubling growth would recompile the slab programs at
+        # every capacity grain; pre-sized, all five families share one
+        # compiled program set (only the first pays the compile)
+        idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
         t0 = time.time()
         idx.add(pts)
         np.asarray(idx.graph.n_nodes)

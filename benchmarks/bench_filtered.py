@@ -42,7 +42,8 @@ def main():
     pts, qs = synthetic_clustered(N, DIMS, n_centers=50_000, seed=4242,
                                   n_queries=NQ)
     cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=64)
-    idx = HnswIndex(cfg, max_insert_batch=256)
+    # pre-sized: doubling growth recompiles every slab program per grain
+    idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
     t0 = time.time()
     idx.add(pts)
     np.asarray(idx.graph.n_nodes)

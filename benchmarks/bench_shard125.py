@@ -69,17 +69,36 @@ def main():
     else:
         pts, qs = make_data()
         log(f"data ready: {pts.nbytes / 1e9:.1f} GB host")
-        idx = HnswIndex(cfg, max_insert_batch=256)
+        # warm the slab programs at the REAL capacity before timing (both
+        # candidate engines — auto switches to exact8 at 600k), then free
+        # the warm graph before allocating the main one (bench_10m pattern)
+        warm = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
+        big, _ = warm.slab_batches
+        warm.add(pts[: (big + 1) * 256])
+        warm.exact_build_threshold = 0
+        warm.add(pts[(big + 1) * 256: (2 * big + 2) * 256])
+        np.asarray(warm.graph.n_nodes)
+        del warm
+        # pre-size to final capacity: doubling growth would land past 16M
+        # rows and recompile every slab program at the new grain
+        idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
         t0 = time.time()
-        idx.add(pts)
-        np.asarray(idx.graph.n_nodes)
+        for lo in range(0, N, 2_500_000):
+            hi = min(lo + 2_500_000, N)
+            idx.add(pts[lo:hi], np.arange(lo, hi))
+            np.asarray(idx.graph.n_nodes)
+            log(f"built {hi:>10,}  overall {hi / (time.time() - t0):.0f} vec/s")
         dt = time.time() - t0
         log(f"build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
         out["build_vps"] = round(N / dt, 0)
         del pts
         t0 = time.time()
-        idx.save(CACHE)
+        idx.save(CACHE, compressed=False)
         log(f"snapshot: {time.time() - t0:.0f}s")
+
+    # free the exact8 build shadow before serving (1.25 GB at 12.5M)
+    idx._qvec = idx._qscale = None
+    idx._qvec_rows = 0
 
     qdev = jnp.asarray(qs)
     _, ol, _ = idx.exact_search(qs, K)

@@ -50,7 +50,12 @@ def main():
     pts = synthetic_clustered(N, DIMS, n_centers=50_000, seed=4242)
     out = {"n": N}
     with tempfile.TemporaryDirectory() as td:
-        r0, _ = build(pts)   # also warms every compile for the pair below
+        # warm EVERY compile before any timed build: the r4 run timed the
+        # cold-compile build as the WAL-off baseline and "measured" WAL on
+        # as 2.7x FASTER than off (overhead_pct=-167.7) — pure compile
+        # skew.  The warmup build is discarded.
+        build(pts)
+        r0, _ = build(pts)
         log(f"WAL off:              {r0:.0f} vec/s")
         r1, s1 = build(pts, os.path.join(td, "a.wal"))
         log(f"WAL on (unbounded):   {r1:.0f} vec/s, log {s1 / 1e9:.2f} GB")
