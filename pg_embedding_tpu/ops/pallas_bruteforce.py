@@ -290,6 +290,42 @@ _TILE_CACHE: dict | None = None
 # autotune_tiles run) > this file > static table.
 _FACTORY_TILES_PATH: str | None = None  # default resolved lazily
 
+# First-serve auto-probe: when a TPU serve hits a (metric, dims, k) point
+# with no measured tiles anywhere (user cache, factory file), run one
+# cheap quick-grid autotune and persist the winner, so the second call
+# onward uses measured tiles with no manual step.  The cost is a handful
+# of kernel compiles + ~1s of timing, once per machine per point (the HLO
+# cache amortizes compiles across processes).  Disable with
+# PG_EMB_AUTO_PROBE=0 (strict first-call latency).  Never fires under
+# tracing (shard_map serving passes tracers) and never retries a point
+# that failed or was probed this process.
+_PROBE_ATTEMPTED: set = set()
+
+
+def _auto_probe_enabled() -> bool:
+    import os
+
+    return os.environ.get("PG_EMB_AUTO_PROBE", "1") != "0"
+
+
+def _probe_uncovered(metric, key: str, dims: int, k: int, queries, points):
+    """One-shot quick autotune for an uncovered tile-cache key (the
+    first-serve auto-probe).  Returns the cache entry measured by the
+    probe, or None when probing is disabled/unavailable/already tried."""
+    if not _auto_probe_enabled() or key in _PROBE_ATTEMPTED:
+        return None
+    if (isinstance(queries, jax.core.Tracer)
+            or isinstance(points, jax.core.Tracer)):
+        return None                      # traced serve (shard_map etc.)
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    _PROBE_ATTEMPTED.add(key)
+    try:
+        autotune_tiles(dims, metric, k=k, quick=True)
+    except Exception:
+        pass                             # static table is the fallback
+    return _tile_cache().get(key)
+
 
 def _tile_cache_path() -> str:
     import os
@@ -335,7 +371,7 @@ def _tile_key(metric, d_pad: int, k_run: int) -> str:
 def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
                    n: int = 262_144, batch: int = 1024, reps: int = 4,
                    rounds: int = 3, save: bool = True, candidates=None,
-                   verbose=False):
+                   verbose=False, quick: bool = False):
     """Measure candidate (tile_q, tile_n) pairs for the exact kernel at
     this (metric, dims, k) point on the current device and cache the
     winner for future pallas_exact_search calls.  Returns
@@ -374,6 +410,19 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
     k_run = k + _RERANK_PAD if metric is Metric.L2 else k
     d_pad = (max(((dims + 127) // 128) * 128, 128) if dims <= 256
              else ((dims + 255) // 256) * 256)
+    if quick:
+        # first-serve auto-probe budget: 4 candidates bracketing the
+        # static default for this (metric, width) region, tiny corpus,
+        # 2x2 timing.  The full grid is the opt-in autotune_tiles() run.
+        n = min(n, 131_072)
+        reps, rounds = min(reps, 2), min(rounds, 2)
+        if candidates is None:
+            if metric is Metric.L2 and dims <= 256:
+                candidates = [(1024, 1536), (1024, 1024),
+                              (512, 1536), (512, 2048)]
+            else:
+                candidates = [(512, 1024), (512, 1536),
+                              (256, 1024), (1024, 1024)]
     if candidates is None:
         qt = (256, 512, 1024)
         nt = (512, 1024, 1536, 2048)
@@ -478,7 +527,12 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
         d0k = queries.shape[1]
         dpk = (max(((d0k + 127) // 128) * 128, 128) if d0k <= 256
                else ((d0k + 255) // 256) * 256)
-        hit = _tile_cache().get(_tile_key(metric, dpk, k_run))
+        key = _tile_key(metric, dpk, k_run)
+        hit = _tile_cache().get(key)
+        if hit is None:
+            # uncovered point on a real TPU serve: one quick measured
+            # probe, persisted, instead of the static table forever
+            hit = _probe_uncovered(metric, key, d0k, k, queries, points)
         if hit and k_run <= int(hit[2]):
             tile_q, tile_n = int(hit[0]), int(hit[1])
 

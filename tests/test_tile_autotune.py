@@ -77,6 +77,60 @@ def test_factory_fallback_and_user_cache_precedence(tune_dir, tmp_path,
     assert pbf._tile_cache()[okey] == [256, 1024, 10]
 
 
+def test_auto_probe_guards_and_one_shot(tune_dir, monkeypatch):
+    """First-serve auto-probe (_probe_uncovered): disabled flag, off-TPU,
+    traced operands, and the one-shot attempted set all short-circuit; on
+    a (faked) TPU backend it runs the quick autotune exactly once and
+    returns the measured entry."""
+    import jax
+    import numpy as np
+
+    from pg_embedding_tpu import Metric
+
+    qs = np.zeros((4, 128), np.float32)
+    key = pbf._tile_key(Metric.L2, 128, 16)
+    monkeypatch.setattr(pbf, "_PROBE_ATTEMPTED", set())
+
+    # flag off
+    monkeypatch.setenv("PG_EMB_AUTO_PROBE", "0")
+    assert pbf._probe_uncovered(Metric.L2, key, 128, 10, qs, qs) is None
+    monkeypatch.delenv("PG_EMB_AUTO_PROBE")
+
+    # traced operands never probe (checked before the backend)
+    def traced(x):
+        assert pbf._probe_uncovered(Metric.L2, key, 128, 10, x, x) is None
+        return x
+    jax.jit(traced)(np.zeros(4, np.float32))
+    assert key not in pbf._PROBE_ATTEMPTED
+
+    # off-TPU (the test backend is CPU): no probe, no attempt recorded
+    assert pbf._probe_uncovered(Metric.L2, key, 128, 10, qs, qs) is None
+    assert key not in pbf._PROBE_ATTEMPTED
+
+    # fake TPU backend + stub tuner: probes once, persists, then one-shot
+    calls = []
+
+    def stub_tune(dims, metric, k, quick):
+        calls.append((dims, metric, k, quick))
+        pbf._tile_cache()[key] = [512, 1024, 16]
+
+    monkeypatch.setattr(pbf.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pbf, "autotune_tiles", stub_tune)
+    assert pbf._probe_uncovered(Metric.L2, key, 128, 10, qs, qs) == \
+        [512, 1024, 16]
+    assert calls == [(128, Metric.L2, 10, True)]
+    # second call: already attempted, no re-probe
+    assert pbf._probe_uncovered(Metric.L2, key, 128, 10, qs, qs) is None
+    assert len(calls) == 1
+
+
+def test_quick_mode_off_tpu_still_refuses(tune_dir):
+    from pg_embedding_tpu import Metric
+
+    with pytest.raises(RuntimeError):
+        pbf.autotune_tiles(64, Metric.L2, n=4096, batch=64, quick=True)
+
+
 def test_factory_fallback_exact8_chunk(tune_dir, tmp_path, monkeypatch):
     """Same precedence for the build-side exact8 chunk cache."""
     import pg_embedding_tpu.api as api
