@@ -9,9 +9,10 @@ runs on N devices; ICI merge degenerates to identity).  400k x 128d L2 —
 inside packed-f32's memory regime (records = maxM*D*4 = 16KB/node,
 ~6.6GB at 400k; the <=500k band from BASELINE r3).
 
-Measures: sharded plain walk vs cast-f32 (bit-identical results), cast
--bf16, packed-int8, all T=8 ef=64, streaming QPS via the device-side
-step functions (run.py protocol).
+Measures: sharded plain walk vs cast-f32 (identical ids/order; distance
+scalars final-ulp on TPU, bit-identical on CPU), cast-bf16, packed-int8,
+all T=8 ef=64, streaming QPS via the device-side step functions (run.py
+protocol).
 
 Run: nohup python benchmarks/bench_sharded_packed.py > /tmp/bench_shpk.log 2>&1 &
 """
@@ -99,11 +100,21 @@ def main():
         out[f"{variant}_qps"] = round(qps, 1)
         out[f"{variant}_recall"] = round(r, 4)
 
-    bit_identical = (np.array_equal(results["plain"][0], results["cast"][0])
-                     and np.array_equal(results["plain"][1],
-                                        results["cast"][1]))
-    out["cast_f32_bit_identical"] = bool(bit_identical)
-    log(f"cast-f32 bit-identical to plain: {bit_identical}")
+    # strict-parity invariant on TPU: identical ids AND order; distance
+    # scalars may differ in the final ulp (XLA reduction layouts differ
+    # between the row-gather and record-gather producers — measured
+    # 2.8e-7 max relative at 400k; bit-identity holds on CPU and is
+    # pinned by tests/test_sharded_packed_cast.py)
+    dp, gp = results["plain"]
+    dc, gc = results["cast"]
+    ids_identical = bool(np.array_equal(gp, gc))
+    m = np.isfinite(dp) & np.isfinite(dc)
+    max_rel = float(np.max(np.abs(dp[m] - dc[m]) /
+                           np.maximum(np.abs(dp[m]), 1e-30)))
+    out["cast_f32_ids_identical"] = ids_identical
+    out["cast_f32_max_rel_dist_diff"] = max_rel
+    log(f"cast-f32 ids/order identical to plain: {ids_identical}; "
+        f"max rel dist diff {max_rel:.2e}")
     log(json.dumps(out))
 
 

@@ -755,8 +755,13 @@ class HnswIndex:
     @functools.partial(jax.jit, static_argnames=("dtype",))
     def _pack_records_cast(vectors, links, dtype):
         """Packed neighbor records in bf16/f32 — no scales; f32 records
-        make the packed walk bit-identical to the plain mode (see
-        core/search._search_one)."""
+        make the packed walk result-identical to the plain mode: same ids,
+        same order, same exact distance form over the same f32 rows.
+        Distance scalars are bit-identical in every single-chip
+        measurement (CPU suite; real TPU at 50k/400k); only the sharded
+        shard_map program has been observed to pick a different reduction
+        layout for the record gather on TPU, leaving scalars within one
+        ulp (see core/search._search_one)."""
         safe = jnp.maximum(links, 0)
         return vectors.astype(jnp.dtype(dtype))[safe]
 

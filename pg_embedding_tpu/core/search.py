@@ -346,8 +346,14 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         # ordering among the surfaced candidates).  f32 packed records
         # skip this: their traversal distances are already the exact
         # reference values (dist_one_to_many over the same f32 rows), so
-        # the walk is bit-identical to the plain mode — the strict-parity
-        # serving configuration (tests/test_round3_fixes.py pins it).
+        # the walk is result-identical to the plain mode — same ids, same
+        # order — the strict-parity serving configuration.  Distance
+        # scalars: bit-identical in every single-chip measurement (CPU
+        # suite via tests/test_round3_fixes.py; real TPU at 50k and 400k);
+        # under the sharded shard_map program at 400k on TPU, XLA chose a
+        # different reduction layout for the record-gather producer, so
+        # scalars differed in the final ulp (<= 2.8e-7 relative) with
+        # ids/order still identical on every query.
         fvecs = graph.vectors[jnp.maximum(res_i, 0)]
         rd = dist_one_to_many(query, fvecs, metric_value)
         rd = jnp.where(res_i >= 0, rd, _INF)

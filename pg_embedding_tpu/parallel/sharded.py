@@ -722,7 +722,9 @@ class ShardedHnswIndex:
         """Shard-mapped builder for cast packed records (bf16/f32 — no
         scales; see api.HnswIndex._pack_records_cast): one gather
         co-locates every node's neighbors' rows at the chosen precision.
-        f32 records reproduce the plain walk's distances bit-exactly."""
+        f32 records reproduce the plain walk's results exactly (same ids,
+        same order; distance scalars bit-identical on CPU, final-ulp on
+        TPU — see api.HnswIndex._pack_records_cast)."""
         key = ("packcast", self.capacity_per_shard, self.packed_dtype)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -846,7 +848,8 @@ class ShardedHnswIndex:
                     in_axes=(None, 0, None, None))(g, q, aux_a[0],
                                                    aux_b[0])
             elif variant == "cast":
-                # bf16/f32 records, no scales (f32 = bit-exact plain walk)
+                # bf16/f32 records, no scales (f32 = result-exact plain
+                # walk; scalars final-ulp on TPU, see _pack_step_cast)
                 (aux_a,) = aux
                 d, i, hops, evals = jax.vmap(
                     lambda gg, qq, pc: fn(gg, qq, pcodes=pc),

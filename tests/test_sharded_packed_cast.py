@@ -1,10 +1,14 @@
 """Sharded cast packed records (round-4: tier parity for the strict-parity
 serving modes).  ``packed_dtype="float32"`` must return BIT-identical
-results to the sharded plain walk (same distances, same global ids — no
-quantization, no rerank; the sharded analog of
+results to the sharded plain walk ON THIS CPU MESH (same distances, same
+global ids — no quantization, no rerank; the sharded analog of
 tests/test_round3_fixes.py::test_packed_f32_bit_identical_to_plain), and
-``"bfloat16"`` must serve with exact-rerank quality.  Reference exactness
-bar: searchKnn, /root/reference/hnswalg.cpp:234-252."""
+``"bfloat16"`` must serve with exact-rerank quality.  On the real TPU the
+sharded program's guarantee is ids/order identity: at 400k XLA laid the
+record-gather reduction out differently and distance scalars differed in
+the final ulp (<= 2.8e-7 relative; benchmarks/bench_sharded_packed.py
+checks that invariant on hardware).  Reference exactness bar: searchKnn,
+/root/reference/hnswalg.cpp:234-252."""
 
 import numpy as np
 import pytest
