@@ -308,10 +308,16 @@ def _auto_probe_enabled() -> bool:
     return os.environ.get("PG_EMB_AUTO_PROBE", "1") != "0"
 
 
-def _probe_uncovered(metric, key: str, dims: int, k: int, queries, points):
-    """One-shot quick autotune for an uncovered tile-cache key (the
-    first-serve auto-probe).  Returns the cache entry measured by the
-    probe, or None when probing is disabled/unavailable/already tried."""
+def _probe_uncovered(metric, d_pad: int, k_run: int, dims: int, k: int,
+                     n_rows: int, queries, points):
+    """One-shot quick autotune for an uncovered tile-cache point (the
+    first-serve auto-probe).  Probes at the serving corpus size, capped
+    at 256k rows (probe cost stays bounded; larger corpora reach the
+    probed entry via _lookup_tiles' nearest-bucket fallback).  Returns
+    the entry measured by the probe, or None when probing is
+    disabled/unavailable/already tried."""
+    n_probe = min(int(n_rows), 262_144)
+    key = _tile_key(metric, d_pad, k_run, n_probe)
     if not _auto_probe_enabled() or key in _PROBE_ATTEMPTED:
         return None
     if (isinstance(queries, jax.core.Tracer)
@@ -321,10 +327,10 @@ def _probe_uncovered(metric, key: str, dims: int, k: int, queries, points):
         return None
     _PROBE_ATTEMPTED.add(key)
     try:
-        autotune_tiles(dims, metric, k=k, quick=True)
+        autotune_tiles(dims, metric, k=k, n=n_probe, quick=True)
     except Exception:
         pass                             # static table is the fallback
-    return _tile_cache().get(key)
+    return _lookup_tiles(metric, d_pad, k_run, n_rows)
 
 
 def _tile_cache_path() -> str:
@@ -363,9 +369,43 @@ def _tile_cache() -> dict:
     return _TILE_CACHE
 
 
-def _tile_key(metric, d_pad: int, k_run: int) -> str:
+def _tile_key(metric, d_pad: int, k_run: int, n_rows: int) -> str:
+    """Cache key includes a power-of-two CORPUS-ROWS bucket: the winning
+    tile pair is scale-dependent (at 100k x 128d the big (1024, 1536)
+    tiles win — the corpus streams once per batch; at 262k the grid
+    prefers (256, 512)), so a tune at one scale must not silently govern
+    a very different one — the same lesson as the exact8 chunk cache's
+    capacity bucket (api._exact8_chunk_key)."""
     kb = 1 << (max(int(k_run), 1) - 1).bit_length()   # k bucket (pow2)
-    return f"{jax.default_backend()}:{metric.name}:{d_pad}:{kb}"
+    nb = 1 << max(int(n_rows) - 1, 1).bit_length()    # rows bucket (pow2)
+    return f"{jax.default_backend()}:{metric.name}:{d_pad}:{kb}:{nb}"
+
+
+def _lookup_tiles(metric, d_pad: int, k_run: int, n_rows: int):
+    """Exact-bucket hit first, else the NEAREST measured rows-bucket for
+    the same (backend, metric, d_pad, k) — a 1M tune is a far better
+    guess for 2M serving than the static table.  Entries are only used up
+    to the k they were proven to compile at (hit[2], the VMEM k-guard)."""
+    cache = _tile_cache()
+    hit = cache.get(_tile_key(metric, d_pad, k_run, n_rows))
+    if hit is not None and k_run <= int(hit[2]):
+        return hit
+    import math
+
+    kb = 1 << (max(int(k_run), 1) - 1).bit_length()
+    prefix = f"{jax.default_backend()}:{metric.name}:{d_pad}:{kb}:"
+    want = math.log2(max(int(n_rows), 1))
+    best, best_dist = None, None
+    for key, val in cache.items():
+        if not key.startswith(prefix) or k_run > int(val[2]):
+            continue
+        try:
+            dist = abs(math.log2(int(key[len(prefix):])) - want)
+        except ValueError:
+            continue
+        if best_dist is None or dist < best_dist:
+            best, best_dist = val, dist
+    return best
 
 
 def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
@@ -412,9 +452,9 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
              else ((dims + 255) // 256) * 256)
     if quick:
         # first-serve auto-probe budget: 4 candidates bracketing the
-        # static default for this (metric, width) region, tiny corpus,
+        # static default for this (metric, width) region, bounded corpus,
         # 2x2 timing.  The full grid is the opt-in autotune_tiles() run.
-        n = min(n, 131_072)
+        n = min(n, 262_144)
         reps, rounds = min(reps, 2), min(rounds, 2)
         if candidates is None:
             if metric is Metric.L2 and dims <= 256:
@@ -463,7 +503,7 @@ def autotune_tiles(dims: int, metric=Metric.L2, k: int = 10,
     cache = _tile_cache()
     # k_run recorded so lookups never use tiles past the k they were
     # proven to compile at (selection-pass VMEM grows with k)
-    cache[_tile_key(metric, d_pad, k_run)] = [best[0], best[1], k_run]
+    cache[_tile_key(metric, d_pad, k_run, n)] = [best[0], best[1], k_run]
     if save:
         p = _tile_cache_path()
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -527,12 +567,13 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
         d0k = queries.shape[1]
         dpk = (max(((d0k + 127) // 128) * 128, 128) if d0k <= 256
                else ((d0k + 255) // 256) * 256)
-        key = _tile_key(metric, dpk, k_run)
-        hit = _tile_cache().get(key)
+        n_rows = orig_points.shape[0]
+        hit = _lookup_tiles(metric, dpk, k_run, n_rows)
         if hit is None:
             # uncovered point on a real TPU serve: one quick measured
             # probe, persisted, instead of the static table forever
-            hit = _probe_uncovered(metric, key, d0k, k, queries, points)
+            hit = _probe_uncovered(metric, dpk, k_run, d0k, k, n_rows,
+                                   queries, points)
         if hit and k_run <= int(hit[2]):
             tile_q, tile_n = int(hit[0]), int(hit[1])
 
