@@ -138,7 +138,11 @@ def main():
                 continue
             idx.packed_traversal = True
             idx.packed_dtype = dt
+            # drop the previous dtype's records BEFORE packing the next —
+            # the loop locals kept 3.8 GB of int8 records alive through
+            # the 7.7 GB bf16 pack (OOM on the first native-scale run)
             idx._pcodes = idx._pscales = None
+            pc = ps = None
             t0 = time.time()
             pc, ps = idx._ensure_packed()
             np.asarray(pc[0, 0, 0])
@@ -150,6 +154,7 @@ def main():
                 qdev, nq, f"[{name}] packed-{dt} T=8 ef=64", oracle, out,
                 f"packed_{dt}_t8")
             idx._pcodes = idx._pscales = None
+            pc = ps = None
     else:  # gist 960d: PQ is the only packed engine at this width
         out["int8_skipped"] = "records_30GB_over_hbm"
         for groups in (60, 120):
