@@ -752,8 +752,8 @@ class HnswIndex:
         return qvec[safe], qscale[safe]              # [cap, maxM, D], [cap, maxM]
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("dtype",))
-    def _pack_records_cast(vectors, links, dtype):
+    @functools.partial(jax.jit, static_argnames=("dtype", "chunk"))
+    def _pack_records_cast(vectors, links, dtype, chunk: int = 131_072):
         """Packed neighbor records in bf16/f32 — no scales; f32 records
         make the packed walk result-identical to the plain mode: same ids,
         same order, same exact distance form over the same f32 rows.
@@ -761,9 +761,31 @@ class HnswIndex:
         measurement (CPU suite; real TPU at 50k/400k); only the sharded
         shard_map program has been observed to pick a different reduction
         layout for the record gather on TPU, leaving scalars within one
-        ulp (see core/search._search_one)."""
-        safe = jnp.maximum(links, 0)
-        return vectors.astype(jnp.dtype(dtype))[safe]
+        ulp (see core/search._search_one).
+
+        The gather runs CHUNKED into a loop-carried records buffer: a
+        single whole-capacity gather OOMs the TPU well below the records'
+        own footprint (measured at 1.2M x 100d/maxM=32: the 9.8 GB padded
+        bf16 gather exhausts a 16 GB chip holding <2 GB else — the
+        backend's one-shot gather needs a multiple of the output in
+        temps). fori_loop's donated carry updates in place, so peak =
+        records + one [chunk, maxM, D] tile."""
+        cast = vectors.astype(jnp.dtype(dtype))
+        cap, max_m = links.shape
+        if cap <= chunk:
+            return cast[jnp.maximum(links, 0)]
+        n_chunks = -(-cap // chunk)
+
+        def body(i, out):
+            # overlapping-tail trick: the last chunk re-covers rows the
+            # previous one wrote, with identical values
+            start = jnp.minimum(i * chunk, cap - chunk)
+            ln = jax.lax.dynamic_slice_in_dim(links, start, chunk)
+            rec = cast[jnp.maximum(ln, 0)]
+            return jax.lax.dynamic_update_slice_in_dim(out, rec, start, 0)
+
+        out = jnp.zeros((cap, max_m, cast.shape[1]), jnp.dtype(dtype))
+        return jax.lax.fori_loop(0, n_chunks, body, out)
 
     def _ensure_pq_codebook(self):
         """Train the PQ codebook once per index on a strided corpus sample

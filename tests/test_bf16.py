@@ -47,3 +47,21 @@ def test_bf16_save_load_roundtrip(tmp_path, rng):
 def test_bad_storage_dtype():
     with pytest.raises(ValueError):
         HnswIndex(HnswConfig(dims=4), storage_dtype="fp8")
+
+
+def test_pack_records_cast_chunked_matches_oneshot(rng):
+    """The chunked pack (cap > chunk, incl. the overlapping tail) is
+    value-identical to the one-shot gather — added after the one-shot
+    whole-capacity gather OOM'd a 16 GB chip at 1.2M x 100d (api.py
+    _pack_records_cast)."""
+    import jax.numpy as jnp
+
+    cap, max_m, dims = 333, 6, 16     # 333 % 64 != 0: exercises the tail
+    vectors = jnp.asarray(rng.normal(size=(cap, dims)).astype(np.float32))
+    links = jnp.asarray(rng.integers(-1, cap, (cap, max_m), dtype=np.int32))
+    for dt in ("bfloat16", "float32"):
+        one = HnswIndex._pack_records_cast(vectors, links, dt, chunk=512)
+        chunked = HnswIndex._pack_records_cast(vectors, links, dt, chunk=64)
+        assert one.dtype == chunked.dtype == jnp.dtype(dt)
+        assert np.array_equal(np.asarray(one, np.float32),
+                              np.asarray(chunked, np.float32))
