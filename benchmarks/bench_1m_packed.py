@@ -102,7 +102,7 @@ def main():
     # packed records
     idx.packed_traversal = True
     pc, ps = idx._ensure_packed()
-    np.asarray(pc[0, 0, 0])
+    np.asarray(pc[0, 0])
     for t in (4, 8):
         d, i, _ = search_graph_packed(idx.graph, qdev, pc, ps, ef=EFS,
                                       metric_value=0, expand_width=t)

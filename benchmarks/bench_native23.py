@@ -145,7 +145,7 @@ def main():
             pc = ps = None
             t0 = time.time()
             pc, ps = idx._ensure_packed()
-            np.asarray(pc[0, 0, 0])
+            np.asarray(pc[0, 0])
             log(f"[{name}] {dt} pack: {time.time() - t0:.1f}s; "
                 f"records {pc.nbytes / 1e9:.2f} GB")
             serve(lambda q, pc=pc, ps=ps: search_graph_packed(

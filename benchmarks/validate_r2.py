@@ -83,7 +83,7 @@ def main():
     pk._labels = idx._labels
     pk._count = idx._count
     pc, ps = pk._ensure_packed()
-    np.asarray(pc[0, 0, 0])  # materialize records before timing
+    np.asarray(pc[0, 0])  # materialize records before timing
 
     for t in (4, 8):
         dd, ii, _ = search_graph_packed(pk.graph, qdev, pc, ps, ef=EFS,

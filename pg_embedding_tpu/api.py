@@ -748,8 +748,16 @@ class HnswIndex:
     @staticmethod
     @jax.jit
     def _pack_records(qvec, qscale, links):
+        """FLAT int8[cap, maxM*D] records + f32[cap, maxM] scales.  Flat
+        2-D records keep the minor dim a near-multiple of 128 lanes: a 3-D
+        [cap, maxM, D] layout pads D up to 128 PER NEIGHBOR (1.3x HBM at
+        D=100) and the serving program prepends a full layout-conversion
+        copy of the records (measured: +9.1 GB temp at 1.2M x 100d — the
+        native-scale OOM).  core/search reshapes per-frontier tiles back
+        to [T*maxM, D], value-identical."""
         safe = jnp.maximum(links, 0)                 # [cap, maxM]
-        return qvec[safe], qscale[safe]              # [cap, maxM, D], [cap, maxM]
+        cap = links.shape[0]
+        return qvec[safe].reshape(cap, -1), qscale[safe]
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("dtype", "chunk"))
@@ -763,17 +771,16 @@ class HnswIndex:
         layout for the record gather on TPU, leaving scalars within one
         ulp (see core/search._search_one).
 
-        The gather runs CHUNKED into a loop-carried records buffer: a
-        single whole-capacity gather OOMs the TPU well below the records'
-        own footprint (measured at 1.2M x 100d/maxM=32: the 9.8 GB padded
-        bf16 gather exhausts a 16 GB chip holding <2 GB else — the
-        backend's one-shot gather needs a multiple of the output in
-        temps). fori_loop's donated carry updates in place, so peak =
-        records + one [chunk, maxM, D] tile."""
+        Records are FLAT [cap, maxM*D] (same rationale as _pack_records:
+        3-D records pad D to 128 lanes per neighbor AND the serving
+        program prepends a whole-records layout copy — both measured to
+        OOM a 16 GB chip at 1.2M x 100d).  The gather also runs CHUNKED
+        into a loop-carried buffer (fori_loop updates the carry in
+        place), so pack-time peak = records + one chunk tile."""
         cast = vectors.astype(jnp.dtype(dtype))
         cap, max_m = links.shape
         if cap <= chunk:
-            return cast[jnp.maximum(links, 0)]
+            return cast[jnp.maximum(links, 0)].reshape(cap, -1)
         n_chunks = -(-cap // chunk)
 
         def body(i, out):
@@ -781,10 +788,10 @@ class HnswIndex:
             # previous one wrote, with identical values
             start = jnp.minimum(i * chunk, cap - chunk)
             ln = jax.lax.dynamic_slice_in_dim(links, start, chunk)
-            rec = cast[jnp.maximum(ln, 0)]
+            rec = cast[jnp.maximum(ln, 0)].reshape(chunk, -1)
             return jax.lax.dynamic_update_slice_in_dim(out, rec, start, 0)
 
-        out = jnp.zeros((cap, max_m, cast.shape[1]), jnp.dtype(dtype))
+        out = jnp.zeros((cap, max_m * cast.shape[1]), jnp.dtype(dtype))
         return jax.lax.fori_loop(0, n_chunks, body, out)
 
     def _ensure_pq_codebook(self):

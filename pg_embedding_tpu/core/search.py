@@ -96,7 +96,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     rerank; its practical value is the 4x smaller traversal copy for
     memory-tight serving.
 
-    Packed traversal: when ``pcodes`` (int8[cap, maxM, D]) and ``pscales``
+    Packed traversal: when ``pcodes`` (FLAT int8[cap, maxM*D]) and ``pscales``
     (f32[cap, maxM]) are given, each node's NEIGHBORS' int8 codes are
     co-located in one contiguous record, so expanding T candidates costs T
     contiguous record gathers instead of T*maxM random row gathers — the
@@ -107,7 +107,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
     rerank as the quantized path.
 
     PQ traversal: when ``pq_codebook`` (f32[G, 256, D/G], ops/pq.py) is
-    also given, ``pcodes`` holds PQ codes (uint8[cap, maxM, G]) instead of
+    also given, ``pcodes`` holds PQ codes (flat uint8[cap, maxM*G]) instead of
     int8 dims — D/G-fold smaller records than int8 packing (the regime
     where int8 records exceed HBM: 41GB at 10M x 128d x maxM=32 vs 5.1GB
     at G=16).  Decoding is a register-level codebook gather (the TPU ADC —
@@ -285,7 +285,7 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         #     packed traversal gathers T contiguous neighbor-code records
         #     (aligned with nbr_rows slot-for-slot) ------------------------
         if pcodes is not None:
-            codes = pcodes[safe_cur]                     # [T, maxM, D or G]
+            codes = pcodes[safe_cur]                     # [T, maxM*(D or G)]
             if pq_codebook is not None:                  # PQ codes
                 from ..ops.pq import pq_decode_mxu
                 nvecs = pq_decode_mxu(codes.reshape(tm, -1), pq_codebook)
@@ -395,9 +395,11 @@ def search_graph_packed(graph: GraphState, queries: jax.Array,
                         visited_slots: int = -1
                         ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer over packed neighbor-code records + exact
-    rerank (see _search_one). pcodes: int8[cap, maxM, D] (node i's row j =
-    the int8 code of links[i, j]); pscales: f32[cap, maxM] matching per-row
-    dequantization scales."""
+    rerank (see _search_one). pcodes: FLAT int8[cap, maxM*D] (node i's
+    segment j = the int8 code of links[i, j]; flat 2-D records avoid
+    per-neighbor lane padding and the serving-program layout copy — see
+    api._pack_records); pscales: f32[cap, maxM] per-row dequantization
+    scales."""
     if cand_cap is None:
         cand_cap = ef
     fn = functools.partial(_search_one, ef=ef, metric_value=metric_value,

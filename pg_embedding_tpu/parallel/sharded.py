@@ -212,7 +212,7 @@ class ShardedHnswIndex:
         self.pq_train_sample = 131_072
         self.pq_train_iters = 12
         self._pq_codebook = None
-        self._packed = None  # (pcodes [S,cap,maxM,D] i8, pscales [S,cap,maxM])
+        self._packed = None  # (pcodes [S,cap,maxM*D] i8, pscales [S,cap,maxM])
         self._pq_codes = None  # u8[S, cap, G] per-ROW codes (sweep_pq)
         # sweep_pq coarse-pool width: None = per-call heuristic;
         # tune_sweep_pool sets it from a measured target (api.py analog)
@@ -658,7 +658,9 @@ class ShardedHnswIndex:
             qv = jnp.clip(jnp.round(v / scale[:, None]), -127,
                           127).astype(jnp.int8)
             safe = jnp.maximum(g.links, 0)
-            return qv[safe][None], scale[safe][None]
+            # FLAT [cap, maxM*D] records (api._pack_records rationale:
+            # per-neighbor D padding + the serving-program layout copy)
+            return qv[safe].reshape(g.capacity, -1)[None], scale[safe][None]
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
@@ -733,7 +735,9 @@ class ShardedHnswIndex:
         def pack(arrays):
             g = _local(arrays)
             safe = jnp.maximum(g.links, 0)
-            return g.vectors.astype(dtype)[safe][None]
+            # FLAT [cap, maxM*D] records (api._pack_records_cast rationale)
+            return g.vectors.astype(dtype)[safe].reshape(
+                g.capacity, -1)[None]
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
