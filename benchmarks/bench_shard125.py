@@ -28,7 +28,12 @@ from pg_embedding_tpu.core.search import search_graph  # noqa: E402
 
 N = int(os.environ.get("SHARD_N", 12_500_000))
 DIMS, M, EFC, K, NQ, REPS = 96, 16, 64, 10, 1024, 4
-CACHE = "/tmp/bench_shard125_idx.npz"
+# repo-local cache: /tmp does not survive across builder sessions (observed
+# r4 — a wiped /tmp cost a finished 10M build), the repo checkout does
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".bench_cache")
+CACHE = os.path.join(CACHE_DIR, "bench_shard125_idx.npz")
+CKPT = os.path.join(CACHE_DIR, "bench_shard125_ckpt.npz")
 
 
 def log(msg):
@@ -62,6 +67,7 @@ def recall(ids, oracle):
 def main():
     cfg = HnswConfig(dims=DIMS, m=M, ef_construction=EFC, ef_search=64)
     out = {"n": N, "dims": DIMS}
+    os.makedirs(CACHE_DIR, exist_ok=True)
     if os.path.exists(CACHE):
         _, qs = make_data()
         idx = HnswIndex.load(CACHE)
@@ -79,21 +85,47 @@ def main():
         warm.add(pts[(big + 1) * 256: (2 * big + 2) * 256])
         np.asarray(warm.graph.n_nodes)
         del warm
-        # pre-size to final capacity: doubling growth would land past 16M
-        # rows and recompile every slab program at the new grain
-        idx = HnswIndex(cfg, initial_capacity=N + 256, max_insert_batch=256)
+        done, t_ck = 0, 0.0
+        if os.path.exists(CKPT):
+            # resume the tail: pre-grow straight to final capacity so the
+            # resumed adds reuse the SAME compiled programs (bench_10m
+            # pattern — load sizes capacity to the checkpoint)
+            from pg_embedding_tpu.core.graph import grow_graph
+            idx = HnswIndex.load(CKPT)
+            done = idx.n_nodes
+            idx._graph = grow_graph(idx._graph, N + idx.max_insert_batch)
+            grown = np.zeros(idx._graph.capacity, np.uint64)
+            grown[: len(idx._labels)] = idx._labels
+            idx._labels = grown
+            log(f"resumed from checkpoint at {done:,} rows")
+        else:
+            # pre-size to final capacity: doubling growth would land past
+            # 16M rows and recompile every slab program at the new grain
+            idx = HnswIndex(cfg, initial_capacity=N + 256,
+                            max_insert_batch=256)
         t0 = time.time()
-        for lo in range(0, N, 2_500_000):
+        for lo in range(done, N, 2_500_000):
             hi = min(lo + 2_500_000, N)
             idx.add(pts[lo:hi], np.arange(lo, hi))
             np.asarray(idx.graph.n_nodes)
-            log(f"built {hi:>10,}  overall {hi / (time.time() - t0):.0f} vec/s")
-        dt = time.time() - t0
-        log(f"build: {N / dt:.0f} vec/s ({dt / 60:.1f} min)")
-        out["build_vps"] = round(N / dt, 0)
+            log(f"built {hi:>10,}  overall "
+                f"{(hi - done) / (time.time() - t0 - t_ck):.0f} vec/s")
+            if hi % 5_000_000 == 0 and hi < N:
+                tc = time.time()
+                idx.save(CKPT, compressed=False)
+                t_ck += time.time() - tc
+                log(f"checkpoint at {hi:,} ({time.time() - tc:.0f}s)")
+        dt = time.time() - t0 - t_ck
+        tag = "" if done == 0 else f" (marginal tail from {done:,})"
+        log(f"build: {(N - done) / dt:.0f} vec/s ({dt / 60:.1f} min){tag}")
+        out["build_vps"] = round((N - done) / dt, 0)
+        if done:
+            out["build_resumed_from"] = done
         del pts
         t0 = time.time()
         idx.save(CACHE, compressed=False)
+        if os.path.exists(CKPT):
+            os.remove(CKPT)
         log(f"snapshot: {time.time() - t0:.0f}s")
 
     # free the exact8 build shadow before serving (1.25 GB at 12.5M)
