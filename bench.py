@@ -15,21 +15,27 @@ plus human-readable detail on stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-N = 100_000
+# env overrides exist for the CI bench-harness smoke (benchmarks/
+# ci_smoke.py runs the full engine+sync path at tiny N on the CPU
+# backend — the round-4 flat-records regression shipped because nothing
+# executed these sections after an engine layout change); the driver
+# headline always runs at the defaults
+N = int(os.environ.get("BENCH_N", 100_000))
 DIMS = 128
 N_CENTERS = 1_000
 M = 16
 EF_CONSTRUCTION = 64
 EF_SEARCH = 64
 K = 10
-N_QUERIES = 1_024
-QPS_REPS = 8
-QPS_ROUNDS = 3
+N_QUERIES = int(os.environ.get("BENCH_NQ", 1_024))
+QPS_REPS = int(os.environ.get("BENCH_REPS", 8))
+QPS_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 3))
 
 
 def log(msg):
@@ -185,7 +191,7 @@ def bench_tpu(pts, qs):
     idx.packed_dtype = "float32"
     idx._pcodes = idx._pscales = None
     pf, _none = idx._ensure_packed()
-    np.asarray(pf[0, 0, 0])
+    np.asarray(pf[0, 0])   # records are FLAT [cap, maxM*D] (api.py:750+)
     dd, ii, _ = search_graph_packed(idx.graph, qdev, pf, None,
                                     ef=EF_SEARCH, metric_value=0,
                                     expand_width=8)

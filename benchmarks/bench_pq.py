@@ -33,7 +33,9 @@ from pg_embedding_tpu.ops.pq_sweep import (  # noqa: E402
     pq_sweep_search as sweep)
 
 N = int(os.environ.get("PQ_N", 1_000_000))
-DIMS, M, EFC, K, NQ, REPS = 128, 16, 64, 10, 1024, 4
+DIMS, M, EFC, K = 128, 16, 64, 10
+NQ = int(os.environ.get("PQ_NQ", 1024))
+REPS = int(os.environ.get("PQ_REPS", 4))
 GROUPS_LIST = [int(g) for g in
                os.environ.get("PQ_GROUPS", "16,32").split(",")]
 CACHE_10M = "/tmp/bench10m_idx.npz"
@@ -168,7 +170,7 @@ def main():
         # int8 packed head-to-head (fits below ~2M@128d)
         idx.packed_dtype = "int8"
         pc8, ps8 = idx._ensure_packed()
-        np.asarray(pc8[0, 0, 0])
+        np.asarray(pc8[0, 0])   # FLAT int8[cap, maxM*D] records
         log(f"int8 records {pc8.nbytes / 1e9:.2f} GB")
         serve(lambda q: search_graph_packed(
             idx.graph, q, pc8, ps8, ef=ef, metric_value=mv, expand_width=8),

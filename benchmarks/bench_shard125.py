@@ -91,8 +91,23 @@ def main():
             # resumed adds reuse the SAME compiled programs (bench_10m
             # pattern — load sizes capacity to the checkpoint)
             from pg_embedding_tpu.core.graph import grow_graph
+            # refuse a checkpoint from a different run shape: a changed
+            # SHARD_N regenerates a DIFFERENT corpus/query stream, and a
+            # checkpoint with >= N rows would skip the build loop while
+            # claiming out['n'] = N (ADVICE r4)
+            meta = {}
+            if os.path.exists(CKPT + ".meta.json"):
+                with open(CKPT + ".meta.json") as f:
+                    meta = json.load(f)
             idx = HnswIndex.load(CKPT)
             done = idx.n_nodes
+            if (meta.get("n", N) != N or done >= N
+                    or idx.config.dims != DIMS or idx.config.m != M):
+                raise SystemExit(
+                    f"checkpoint mismatch: ckpt n={meta.get('n')} "
+                    f"done={done:,} vs SHARD_N={N:,} dims/m="
+                    f"{idx.config.dims}/{idx.config.m} — delete {CKPT} "
+                    f"to rebuild")
             idx._graph = grow_graph(idx._graph, N + idx.max_insert_batch)
             grown = np.zeros(idx._graph.capacity, np.uint64)
             grown[: len(idx._labels)] = idx._labels
@@ -104,28 +119,40 @@ def main():
             idx = HnswIndex(cfg, initial_capacity=N + 256,
                             max_insert_batch=256)
         t0 = time.time()
+        last_ckpt = done
         for lo in range(done, N, 2_500_000):
             hi = min(lo + 2_500_000, N)
             idx.add(pts[lo:hi], np.arange(lo, hi))
             np.asarray(idx.graph.n_nodes)
             log(f"built {hi:>10,}  overall "
                 f"{(hi - done) / (time.time() - t0 - t_ck):.0f} vec/s")
-            if hi % 5_000_000 == 0 and hi < N:
+            # progress-based trigger (ADVICE r4: an absolute `hi % 5M`
+            # never fires for SHARD_N values unaligned to 5M)
+            if hi - last_ckpt >= 5_000_000 and hi < N:
                 tc = time.time()
                 idx.save(CKPT, compressed=False)
+                with open(CKPT + ".meta.json", "w") as f:
+                    json.dump({"n": N, "dims": DIMS, "m": M}, f)
+                last_ckpt = hi
                 t_ck += time.time() - tc
                 log(f"checkpoint at {hi:,} ({time.time() - tc:.0f}s)")
         dt = time.time() - t0 - t_ck
         tag = "" if done == 0 else f" (marginal tail from {done:,})"
         log(f"build: {(N - done) / dt:.0f} vec/s ({dt / 60:.1f} min){tag}")
-        out["build_vps"] = round((N - done) / dt, 0)
+        # a resumed run reports the tail rate under its OWN key so run
+        # comparisons never conflate full-build and tail rates (ADVICE r4)
         if done:
+            out["build_tail_vps"] = round((N - done) / dt, 0)
             out["build_resumed_from"] = done
+        else:
+            out["build_vps"] = round(N / dt, 0)
         del pts
         t0 = time.time()
         idx.save(CACHE, compressed=False)
         if os.path.exists(CKPT):
             os.remove(CKPT)
+        if os.path.exists(CKPT + ".meta.json"):
+            os.remove(CKPT + ".meta.json")
         log(f"snapshot: {time.time() - t0:.0f}s")
 
     # free the exact8 build shadow before serving (1.25 GB at 12.5M)

@@ -31,7 +31,9 @@ import jax.numpy as jnp  # noqa: E402
 from pg_embedding_tpu import HnswConfig, ShardedHnswIndex  # noqa: E402
 
 N = int(os.environ.get("SHPK_N", 400_000))
-DIMS, M, EFC, EFS, K, NQ, REPS = 128, 16, 64, 64, 10, 1024, 8
+DIMS, M, EFC, EFS, K = 128, 16, 64, 64, 10
+NQ = int(os.environ.get("SHPK_NQ", 1024))
+REPS = int(os.environ.get("SHPK_REPS", 8))
 
 
 def log(msg):
@@ -82,7 +84,8 @@ def main():
             idx._packed = None
             t0 = time.time()
             aux = idx._ensure_packed()
-            np.asarray(aux[0][0, 0, 0, 0])   # true sync (axon rule)
+            np.asarray(aux[0][0, 0, 0])   # true sync; stacked records are
+            # [S, cap, maxM*D] (flat per-shard layout, sharded.py:723+)
             log(f"{variant} pack: {time.time() - t0:.1f}s")
             v = idx._traversal_variant()
         step = idx._search_step(EFS, min(K, EFS * idx.n_shards), variant=v)

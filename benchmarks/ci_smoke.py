@@ -20,6 +20,7 @@ against BASELINE.md. What CI can catch deterministically:
 """
 
 import os
+import subprocess
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -29,6 +30,42 @@ os.environ.setdefault(
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def smoke_bench_harnesses():
+    """Execute the REAL bench harnesses end-to-end at tiny N on the CPU
+    backend — every engine call AND every host-sync line runs exactly as
+    on the chip.  This exists because round 4's flat-records layout
+    change (api.py commit 3ea3657) broke three harnesses' sync lines
+    (bench.py / bench_pq.py / bench_sharded_packed.py indexed the old
+    3-D records) and nothing executed them until the driver's headline
+    capture crashed mid-round (BENCH_r04 rc=1).  QPS values at tiny N
+    are meaningless and ignored; only rc=0 is asserted."""
+    base = {**os.environ, "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    jobs = [
+        ("bench.py", [sys.executable, os.path.join(REPO, "bench.py")],
+         {"BENCH_N": "2000", "BENCH_NQ": "64", "BENCH_REPS": "1",
+          "BENCH_ROUNDS": "1"}),
+        ("bench_pq.py",
+         [sys.executable, os.path.join(REPO, "benchmarks", "bench_pq.py")],
+         {"PQ_N": "3000", "PQ_NQ": "64", "PQ_REPS": "1",
+          "PQ_GROUPS": "16"}),
+        ("bench_sharded_packed.py",
+         [sys.executable,
+          os.path.join(REPO, "benchmarks", "bench_sharded_packed.py")],
+         {"SHPK_N": "8192", "SHPK_NQ": "32", "SHPK_REPS": "1"}),
+    ]
+    for name, cmd, env in jobs:
+        r = subprocess.run(cmd, env={**base, **env}, cwd=REPO,
+                           capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
+            raise AssertionError(
+                f"bench harness smoke FAILED: {name} rc={r.returncode}")
+        print(f"bench-harness smoke OK: {name}")
 
 
 def main():
@@ -123,6 +160,8 @@ def main():
     print(f"ci-smoke OK: exact_recall={exact_rec:.4f} "
           f"graph_recall={rec:.4f} exact8_recall={rec8:.4f} "
           f"sweep_pq_recall={rec_s:.4f} bulk_dispatches={dispatches['n']}")
+
+    smoke_bench_harnesses()
 
 
 if __name__ == "__main__":

@@ -935,7 +935,8 @@ class HnswIndex:
         # (filtered waypoints fill beam slots without surfacing), while the
         # masked exact sweep's cost is selectivity-independent — the
         # planner-analog decision the reference makes with amcostestimate
-        # (embedding.c:393-436); threshold measured, see BASELINE.md
+        # (embedding.c:393-436); threshold default pending the 1M
+        # selectivity measurement (benchmarks/bench_filtered.py)
         selective = (excluded is not None and
                      n_allowed < self.filter_exact_selectivity
                      * max(self.n_nodes, 1))

@@ -422,8 +422,10 @@ def search_graph_pq(graph: GraphState, queries: jax.Array,
                     visited_slots: int = -1
                     ) -> Tuple[jax.Array, jax.Array, SearchStats]:
     """Batched searchBaseLayer over packed PQ neighbor records + exact
-    rerank (see _search_one). pcodes: uint8[cap, maxM, G] (node i's row j =
-    the PQ code of links[i, j]); codebook: f32[G, 256, D/G] (ops/pq.py);
+    rerank (see _search_one). pcodes: FLAT uint8[cap, maxM*G] (node i's
+    bytes [j*G:(j+1)*G] = the PQ code of links[i, j]; flat 2-D records
+    keep the minor dim lane-aligned — api._pack_records rationale);
+    codebook: f32[G, 256, D/G] (ops/pq.py);
     ``rotation`` (optional f32[D, D], OPQ): codes live in the rotated
     space, so traversal compares against q @ R (see _search_one
     ``query_t``)."""
