@@ -35,7 +35,7 @@ import numpy as np
 from .config import HnswConfig, Metric
 from .core.build import (build_schedule, insert_batch_masked_donating,
                          insert_slab_donating)
-from .core.graph import GraphState, empty_graph, grow_graph
+from .core.graph import GraphState, empty_graph, grow_graph, records_3d
 from .core.search import (search_graph, search_graph_packed,
                           search_graph_quantized)
 from .ops.bruteforce import exact_search as _bruteforce
@@ -748,16 +748,24 @@ class HnswIndex:
     @staticmethod
     @jax.jit
     def _pack_records(qvec, qscale, links):
-        """FLAT int8[cap, maxM*D] records + f32[cap, maxM] scales.  Flat
-        2-D records keep the minor dim a near-multiple of 128 lanes: a 3-D
-        [cap, maxM, D] layout pads D up to 128 PER NEIGHBOR (1.3x HBM at
-        D=100) and the serving program prepends a full layout-conversion
-        copy of the records (measured: +9.1 GB temp at 1.2M x 100d — the
-        native-scale OOM).  core/search reshapes per-frontier tiles back
-        to [T*maxM, D], value-identical."""
+        """int8 neighbor records + f32[cap, maxM] scales.  Layout is
+        tile-conditional (core/graph.records_3d): 3-D [cap, maxM, D] when
+        the minor tile is exactly (sublane, lane)-aligned — the gather
+        then lands in the [rows, D] tiling the distance matmul wants
+        (flat records cost a lanes<->sublanes relayout per beam hop:
+        -19% QPS measured at 100k x 128d, the r4 packed regression) —
+        else FLAT [cap, maxM*D]: 3-D at unaligned D pads every neighbor
+        to 128 lanes (1.3x HBM at D=100) and the serving program prepends
+        a full layout-conversion copy of the records (measured: +9.1 GB
+        temp at 1.2M x 100d — the native-scale OOM).  core/search
+        reshapes per-frontier tiles to [T*maxM, D] either way,
+        value-identical."""
         safe = jnp.maximum(links, 0)                 # [cap, maxM]
-        cap = links.shape[0]
-        return qvec[safe].reshape(cap, -1), qscale[safe]
+        cap, max_m = links.shape
+        recs = qvec[safe]                            # [cap, maxM, D]
+        if not records_3d(1, max_m, qvec.shape[1]):
+            recs = recs.reshape(cap, -1)
+        return recs, qscale[safe]
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("dtype", "chunk"))
@@ -765,22 +773,31 @@ class HnswIndex:
         """Packed neighbor records in bf16/f32 — no scales; f32 records
         make the packed walk result-identical to the plain mode: same ids,
         same order, same exact distance form over the same f32 rows.
-        Distance scalars are bit-identical in every single-chip
-        measurement (CPU suite; real TPU at 50k/400k); only the sharded
-        shard_map program has been observed to pick a different reduction
-        layout for the record gather on TPU, leaving scalars within one
-        ulp (see core/search._search_one).
+        Distance scalars are bit-identical on CPU (pinned by the suite);
+        on TPU the record-gather dot's reduction layout differs from the
+        row-gather's, leaving scalars within 4 ulps (max rel 2.9e-7,
+        measured r5 at 100k single-chip; same magnitude sharded at 400k)
+        with ids/order identical (see core/search._search_one).
 
-        Records are FLAT [cap, maxM*D] (same rationale as _pack_records:
-        3-D records pad D to 128 lanes per neighbor AND the serving
-        program prepends a whole-records layout copy — both measured to
-        OOM a 16 GB chip at 1.2M x 100d).  The gather also runs CHUNKED
-        into a loop-carried buffer (fori_loop updates the carry in
-        place), so pack-time peak = records + one chunk tile."""
+        Record layout is tile-conditional (core/graph.records_3d, same
+        rationale as _pack_records): 3-D [cap, maxM, D] when exactly
+        tile-aligned (avoids the per-hop relayout the flat layout costs
+        — the r4 packed regression), else FLAT [cap, maxM*D] (3-D at
+        unaligned D pads neighbors to 128 lanes AND the serving program
+        prepends a whole-records layout copy — both measured to OOM a
+        16 GB chip at 1.2M x 100d).  The gather also runs CHUNKED into a
+        loop-carried buffer (fori_loop updates the carry in place), so
+        pack-time peak = records + one chunk tile."""
         cast = vectors.astype(jnp.dtype(dtype))
         cap, max_m = links.shape
+        three_d = records_3d(jnp.dtype(dtype).itemsize, max_m,
+                             cast.shape[1])
+
+        def shape_recs(recs, n):
+            return recs if three_d else recs.reshape(n, -1)
+
         if cap <= chunk:
-            return cast[jnp.maximum(links, 0)].reshape(cap, -1)
+            return shape_recs(cast[jnp.maximum(links, 0)], cap)
         n_chunks = -(-cap // chunk)
 
         def body(i, out):
@@ -788,10 +805,12 @@ class HnswIndex:
             # previous one wrote, with identical values
             start = jnp.minimum(i * chunk, cap - chunk)
             ln = jax.lax.dynamic_slice_in_dim(links, start, chunk)
-            rec = cast[jnp.maximum(ln, 0)].reshape(chunk, -1)
+            rec = shape_recs(cast[jnp.maximum(ln, 0)], chunk)
             return jax.lax.dynamic_update_slice_in_dim(out, rec, start, 0)
 
-        out = jnp.zeros((cap, max_m * cast.shape[1]), jnp.dtype(dtype))
+        shape = ((cap, max_m, cast.shape[1]) if three_d
+                 else (cap, max_m * cast.shape[1]))
+        out = jnp.zeros(shape, jnp.dtype(dtype))
         return jax.lax.fori_loop(0, n_chunks, body, out)
 
     def _ensure_pq_codebook(self):

@@ -67,6 +67,32 @@ def _round_capacity(capacity: int) -> int:
     return max(-(-int(capacity) // grain) * grain, 32)
 
 
+# TPU (sublane, lane) tile shapes by element width: f32 (8, 128),
+# bf16 (16, 128), int8/u8 (32, 128)
+_SUBLANE_TILE = {1: 32, 2: 16, 4: 8}
+
+
+def records_3d(itemsize: int, max_m: int, dims: int) -> bool:
+    """Whether packed neighbor records should be 3-D [cap, maxM, D]
+    instead of flat 2-D [cap, maxM*D].
+
+    3-D wins when the [maxM, D] minor tile is EXACTLY lane/sublane
+    aligned for the record dtype: the per-hop gather then lands directly
+    in the [rows, D] tiling the distance matmul consumes, while flat
+    records tile the gathered [T, maxM*D] block along maxM*D lanes and
+    the reshape to [T*maxM, D] becomes a lanes<->sublanes relayout
+    INSIDE the beam loop (measured on the chip at 100k x 128d, r5:
+    int8 14,261 -> 17,702 QPS, f32 15,128 -> 17,800 — the round-4
+    packed regression, BENCH_r04 vs r03).
+
+    Flat stays the layout everywhere else: unaligned D pads every
+    neighbor's row up to 128 lanes in 3-D (1.28x HBM at D=100) and XLA
+    prepends a whole-records layout-conversion copy to the serving
+    program (both measured to OOM a 16 GB chip at 1.2M x 100d — the r4
+    flat-records fix, api._pack_records)."""
+    return dims % 128 == 0 and max_m % _SUBLANE_TILE[itemsize] == 0
+
+
 def empty_graph(capacity: int, dims: int, max_m: int,
                 dtype=jnp.float32) -> GraphState:
     """Allocate an empty graph with the given capacity.

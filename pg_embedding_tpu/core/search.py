@@ -348,11 +348,12 @@ def _search_one(graph: GraphState, query: jax.Array, *, ef: int,
         # reference values (dist_one_to_many over the same f32 rows), so
         # the walk is result-identical to the plain mode — same ids, same
         # order — the strict-parity serving configuration.  Distance
-        # scalars: bit-identical in every single-chip measurement (CPU
-        # suite via tests/test_round3_fixes.py; real TPU at 50k and 400k);
-        # under the sharded shard_map program at 400k on TPU, XLA chose a
-        # different reduction layout for the record-gather producer, so
-        # scalars differed in the final ulp (<= 2.8e-7 relative) with
+        # scalars: bit-identical on CPU (pinned by the suite,
+        # tests/test_round3_fixes.py / test_sharded_packed_cast.py); on
+        # TPU, XLA lays the record-gather dot's reduction out differently
+        # from the row-gather's, leaving scalars within 4 ulps (max rel
+        # 2.9e-7, measured r5 at 100k single-chip with 3-D records; the
+        # same magnitude under the sharded program at 400k) with
         # ids/order still identical on every query.
         fvecs = graph.vectors[jnp.maximum(res_i, 0)]
         rd = dist_one_to_many(query, fvecs, metric_value)

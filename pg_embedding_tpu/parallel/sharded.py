@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HnswConfig
 from ..core.build import insert_batch_core, quantize_rows
-from ..core.graph import GraphState
+from ..core.graph import GraphState, records_3d
 from ..core.search import _search_one
 from ..api import _read_locked, _write_locked
 from ..utils.locking import RWLock
@@ -658,9 +658,14 @@ class ShardedHnswIndex:
             qv = jnp.clip(jnp.round(v / scale[:, None]), -127,
                           127).astype(jnp.int8)
             safe = jnp.maximum(g.links, 0)
-            # FLAT [cap, maxM*D] records (api._pack_records rationale:
-            # per-neighbor D padding + the serving-program layout copy)
-            return qv[safe].reshape(g.capacity, -1)[None], scale[safe][None]
+            # tile-conditional layout (core/graph.records_3d): 3-D when
+            # exactly aligned (avoids the per-hop relayout — the r4
+            # packed regression), else flat [cap, maxM*D] (per-neighbor
+            # D padding + the serving-program layout copy)
+            recs = qv[safe]
+            if not records_3d(1, g.links.shape[1], qv.shape[1]):
+                recs = recs.reshape(g.capacity, -1)
+            return recs[None], scale[safe][None]
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
@@ -735,9 +740,13 @@ class ShardedHnswIndex:
         def pack(arrays):
             g = _local(arrays)
             safe = jnp.maximum(g.links, 0)
-            # FLAT [cap, maxM*D] records (api._pack_records_cast rationale)
-            return g.vectors.astype(dtype)[safe].reshape(
-                g.capacity, -1)[None]
+            # tile-conditional layout (core/graph.records_3d; see
+            # api._pack_records_cast)
+            recs = g.vectors.astype(dtype)[safe]
+            if not records_3d(dtype.itemsize, g.links.shape[1],
+                              g.vectors.shape[1]):
+                recs = recs.reshape(g.capacity, -1)
+            return recs[None]
 
         spec = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
         fn = jax.jit(jax.shard_map(pack, mesh=self.mesh, in_specs=(spec,),
