@@ -41,7 +41,10 @@ from pg_embedding_tpu.core.search import (  # noqa: E402
     search_graph, search_graph_quantized)
 
 N, DIMS, M, EFC, EFS, K, NQ, REPS = 10_000_000, 128, 16, 64, 64, 10, 1024, 4
-CACHE_IDX = "/tmp/bench10m_idx.npz"
+# repo-local cache: /tmp does not survive across builder sessions
+# (bench_shard125 lesson — a wiped /tmp cost a finished 10M build)
+CACHE_IDX = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".bench_cache", "bench10m_idx.npz")
 
 
 def log(msg):
@@ -138,9 +141,10 @@ def main():
             log(f"TPU build (resumed tail from {done:,}): "
                 f"{(N - done) / dt:.0f} vec/s marginal")
         if os.environ.get("BENCH_10M_SAVE") == "1":
-            # ~6.5GB through the tunnel + single-thread zlib: ~25 min.
-            # Worth it only when a cached index will be reused.
-            idx.save(CACHE_IDX)
+            # ~6.5GB through the tunnel; uncompressed (single-thread zlib
+            # on float data costs ~25 min for a poor ratio)
+            os.makedirs(os.path.dirname(CACHE_IDX), exist_ok=True)
+            idx.save(CACHE_IDX, compressed=False)
 
     # free the exact8 build shadow before serving: 1.3GB of HBM the serve
     # benches don't need resident (the quantized-serve bench rebuilds it)
@@ -229,6 +233,59 @@ def main():
                 out[f"pq_g{groups}_recall_t{t}_ef{ef}"] = round(r, 4)
             idx._pcodes = None
             pc = None
+
+    if os.environ.get("B10M_PQ32") == "1":
+        # PQ G=32 at 10M in DROP-CORPUS mode (VERDICT r4 item 7): G=32
+        # records (10.24 GB at 10M-cap) do NOT fit next to the f32
+        # corpus (5.12 GB) on a 16 GB chip — but the serving walk only
+        # reads corpus rows at the entry distance and the exact rerank,
+        # so after encoding codes FROM the f32 rows the corpus can be
+        # downcast to bf16 (2.56 GB): records 10.24 + bf16 corpus 2.56 +
+        # links 1.28 + codes 0.32 ~= 14.4 GB.  Order matters: encode
+        # (f32 resident, 5.5 GB peak) -> downcast (8 GB transient) ->
+        # chunked record gather (14.5 GB peak).
+        from pg_embedding_tpu.core.search import search_graph_pq
+
+        idx._qvec = idx._qscale = None
+        idx._qvec_rows = 0
+        idx._pcodes = idx._pscales = None
+        idx.packed_traversal = True
+        idx.packed_dtype = "pq"
+        idx.pq_groups = 32
+        idx._pq_codebook = None
+        idx._pq_codes = None
+        t0 = time.time()
+        idx._ensure_pq_codes()                    # train+encode on f32 rows
+        np.asarray(idx._pq_codes[0, 0])
+        log(f"G=32 train+encode: {time.time() - t0:.1f}s")
+        idx.downcast_corpus("bfloat16")
+        np.asarray(idx.graph.vectors[0, 0].astype(np.float32))
+        log(f"corpus downcast to bf16 "
+            f"({idx.graph.vectors.nbytes / 1e9:.2f} GB)")
+        t0 = time.time()
+        pc, _ = idx._ensure_packed()
+        np.asarray(pc[0, 0])
+        log(f"G=32 record gather: {time.time() - t0:.1f}s; records "
+            f"{pc.nbytes / 1e9:.2f} GB")
+        cb, rot = idx._pq_codebook, idx._pq_rot
+        for t, ef in ((8, EFS), (8, 2 * EFS)):
+            d, i, _ = search_graph_pq(idx.graph, qdev, pc, cb, rot,
+                                      ef=ef, metric_value=0,
+                                      expand_width=t)
+            r = recall(np.asarray(i), oracle)
+            t0 = time.time()
+            for _ in range(REPS):
+                d, i, _ = search_graph_pq(idx.graph, qdev, pc, cb, rot,
+                                          ef=ef, metric_value=0,
+                                          expand_width=t)
+            np.asarray(d)
+            qps = REPS * NQ / (time.time() - t0)
+            log(f"pq G=32 dc T={t} ef={ef}: {qps:.0f} QPS, "
+                f"recall@10 {r:.4f}")
+            out[f"pq_g32_dc_qps_t{t}_ef{ef}"] = round(qps, 1)
+            out[f"pq_g32_dc_recall_t{t}_ef{ef}"] = round(r, 4)
+        idx._pcodes = None
+        pc = None
 
     if os.environ.get("BENCH_10M_CPU") == "1":
         from pg_embedding_tpu.utils.cpu_ref import CpuRefIndex

@@ -1212,6 +1212,42 @@ class HnswIndex:
         self.pq_sweep_pool = best
         return TuneResult(best, achieved, met)
 
+    @_write_locked
+    def downcast_corpus(self, dtype: str = "bfloat16") -> None:
+        """Serving-footprint transition: cast the resident corpus to a
+        narrower storage dtype IN PLACE — the single-chip answer when
+        derived serving records leave no HBM room for the f32 rows.
+        The case it exists for: PQ G=32 at 10M x 128d, where records
+        (10.2 GB) + f32 corpus (5.1 GB) + links (1.3 GB) exceed a 16 GB
+        chip, but a bf16 corpus serves the same records in 2.6 GB (the
+        co-located record-locality role, embedding.c:226-231, carried
+        past the point the reference's mmap'd f32 pages could reach).
+
+        Equivalent to ``storage_dtype="bfloat16"`` at construction,
+        except applied AFTER building and after any PQ training/encoding
+        — so graph topology and code assignments come from
+        full-precision rows; only the traversal's row reads (entry
+        distance, plain-walk gathers, exact rerank) see dtype-rounded
+        rows afterwards.  Derived shadows (PQ codebook/codes/records,
+        int8 shadow) are deliberately KEPT — they were computed from the
+        f32 corpus.  Lossy and one-way (widening back is refused);
+        subsequent inserts and the exact sweep keep working in the
+        narrow dtype, exactly as a bf16-storage index does.  save()
+        persists the new dtype (vectors upcast losslessly to f32 in the
+        file, restored to storage_dtype on load)."""
+        if dtype not in ("bfloat16",):
+            if dtype == "float32":
+                raise ValueError(
+                    "cannot widen a downcast corpus back to float32 — "
+                    "the dropped mantissa bits are gone; rebuild from "
+                    "the source vectors")
+            raise ValueError(f"unknown downcast dtype: {dtype!r}")
+        if self.storage_dtype == dtype:
+            return
+        self.storage_dtype = dtype
+        self._graph = self._graph._replace(
+            vectors=self._graph.vectors.astype(jnp.dtype(dtype)))
+
     @_read_locked
     def compact(self) -> "HnswIndex":
         """Rebuild the index over live (non-tombstoned) vectors only,

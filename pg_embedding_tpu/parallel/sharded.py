@@ -774,6 +774,26 @@ class ShardedHnswIndex:
                 self._packed = self._pack_step()(self._arrays)
         return self._packed
 
+    def downcast_corpus(self, dtype: str = "bfloat16") -> None:
+        """Serving-footprint transition, sharded twin of
+        api.HnswIndex.downcast_corpus: cast the stacked per-shard corpus
+        to a narrower storage dtype in place AFTER building (and after
+        any PQ training/encoding), keeping derived shadows.  The cast
+        preserves the mesh sharding (elementwise astype over the
+        AXIS-sharded array); lossy and one-way."""
+        if dtype not in ("bfloat16",):
+            if dtype == "float32":
+                raise ValueError(
+                    "cannot widen a downcast corpus back to float32 — "
+                    "the dropped mantissa bits are gone; rebuild from "
+                    "the source vectors")
+            raise ValueError(f"unknown downcast dtype: {dtype!r}")
+        if self.storage_dtype == dtype:
+            return
+        self.storage_dtype = dtype
+        self._arrays = (self._arrays[0].astype(jnp.dtype(dtype)),
+                        *self._arrays[1:])
+
     def _quant_step(self):
         """Shard-mapped int8 row quantization (api.HnswIndex._quantize per
         shard): per-row symmetric scales, live rows only."""
