@@ -1042,8 +1042,16 @@ class HnswIndex:
         n = self.n_nodes
         if engine not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown exact engine: {engine!r}")
-        dead = (self._graph.deleted if excluded is None
-                else self._graph.deleted | excluded)
+        # with no tombstones and no filter, drop the deleted operand
+        # entirely: a bool[N, 1] column tiles 128x in the lane dim on TPU
+        # — 1.6 GB of HBM at 12.5M rows for an all-false mask (the r5
+        # shard-125 oracle OOM; counters["n_deleted"] is restored from
+        # the stored mask on load, so this is exact, not heuristic)
+        if excluded is None:
+            dead = (self._graph.deleted
+                    if self.counters.get("n_deleted", 0) else None)
+        else:
+            dead = self._graph.deleted | excluded
         use_pallas = (engine == "pallas" or
                       (engine == "auto"
                        and jax.default_backend() in ("tpu", "axon")))
@@ -1485,6 +1493,10 @@ class HnswIndex:
         idx._labels[:n] = labels
         idx._count = n
         idx.counters["n_inserted"] = n
+        # live tombstone count (exact_search drops the deleted operand
+        # when it is zero — see the HBM-padding note there); counted on
+        # the host copy before upload, so this is free
+        idx.counters["n_deleted"] = int(dlt.sum())
         if pq_codebook is not None:
             idx._pq_codebook = jnp.asarray(pq_codebook)
             idx.pq_groups = pq_groups_trained
