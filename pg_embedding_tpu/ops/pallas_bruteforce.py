@@ -601,7 +601,17 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     # zero-padding D changes neither dots nor norms
     d0 = queries.shape[1]
     if d0 <= 256:
-        d_pad = max(((d0 + 127) // 128) * 128, 128)
+        if d0 % 8 == 0:
+            # consume the corpus at its stored width: padding narrow D up
+            # to 128 lanes materializes a whole-corpus HBM copy (6.4 GB
+            # at 12.5M x 96d — with the tombstone column, the r5
+            # shard-125 oracle OOM).  The single D block covers the full
+            # axis, so Mosaic pads the VMEM tiles internally and the
+            # kernel's dots/norms reduce over the logical extent only
+            # (verified bit-equal to the padded path on hardware at 96d).
+            d_pad = d0
+        else:
+            d_pad = max(((d0 + 127) // 128) * 128, 128)
         tile_d = d_pad
     else:
         d_pad = ((d0 + 255) // 256) * 256
