@@ -270,6 +270,18 @@ class HnswIndex:
         # serves `where=` via the masked exact sweep instead of widening
         # the graph walk (measured crossover, benchmarks/bench_filtered.py)
         self.filter_exact_selectivity = 0.25
+        # widening-loop ceiling: the reference widens toward the index
+        # size (embedding.c:338-343), which on host hardware just reads
+        # more pages — here every doubled ef is a NEW compiled program
+        # whose beam state scales batch*ef, and a forced graph-mode
+        # search under an ultra-selective filter at 1M doubled ef until
+        # the TPU worker crashed outright (measured r5,
+        # benchmarks/bench_filtered.py at 1% selectivity). Graphs
+        # smaller than the cap keep exact exhaustion semantics; beyond
+        # it a starved query returns a partial valid mask — auto mode
+        # never gets there (selective filters route to the masked exact
+        # sweep, whose cost is selectivity-independent).
+        self.max_widen_ef = 4096
         # int8 traversal with exact rerank: quarters the graph walk's HBM
         # gather bytes (its measured bottleneck); the int8 shadow copy is
         # (re)built lazily after inserts. Serving knob, off by default.
@@ -992,7 +1004,9 @@ class HnswIndex:
             # keep growing toward the full graph size (filtered/tombstoned
             # nodes occupy beam slots without surfacing)
             need_more = (n_alive < min(k, n)) & (n_found >= ef)
-            if not need_more.any() or ef >= max(self.n_nodes, 1):
+            if (not need_more.any()
+                    or ef >= min(max(self.n_nodes, 1),
+                                 self.max_widen_ef)):
                 break
             ef = self._bucket_ef(ef * 2)
             self.counters["n_widenings"] += 1
@@ -1623,7 +1637,7 @@ class HnswScan:
     def _fetch_locked(self) -> None:
         idx = self._idx
         if not self._first:
-            if self._ef >= max(idx.n_nodes, 1):
+            if self._ef >= min(max(idx.n_nodes, 1), idx.max_widen_ef):
                 self._no_more = True
                 return
             self._ef = idx._bucket_ef(self._ef * 2)

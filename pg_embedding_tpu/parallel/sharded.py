@@ -162,6 +162,10 @@ class ShardedHnswIndex:
         # filtered-search routing (see api.HnswIndex): below this allowed
         # fraction, auto mode serves `where=` via the masked exact sweep
         self.filter_exact_selectivity = 0.25
+        # widening-loop ceiling (see api.HnswIndex.max_widen_ef: every
+        # doubled ef is a new compiled program; unbounded doubling under
+        # an ultra-selective forced-graph filter crashed the TPU worker)
+        self.max_widen_ef = 4096
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         # multi-slice topology hint: number of ICI slices the mesh spans
@@ -1176,7 +1180,9 @@ class ShardedHnswIndex:
             # per-query: some shard filled its whole beam => more graph may
             # remain there; a single exhausted shard never blocks widening
             need_more = (n_alive < min(k, n)) & (np.asarray(found) >= ef)
-            if not need_more.any() or ef >= max(self.n_nodes, 1):
+            if (not need_more.any()
+                    or ef >= min(max(self.n_nodes, 1),
+                                 self.max_widen_ef)):
                 break
             ef = self._bucket_ef(ef * 2)
             self.counters["n_widenings"] += 1
@@ -1686,7 +1692,7 @@ class ShardedScan:
     def _fetch_locked(self) -> None:
         idx = self._idx
         if not self._first:
-            if self._ef >= max(idx.n_nodes, 1):
+            if self._ef >= min(max(idx.n_nodes, 1), idx.max_widen_ef):
                 self._no_more = True
                 return
             self._ef = idx._bucket_ef(self._ef * 2)

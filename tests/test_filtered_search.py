@@ -145,3 +145,35 @@ def test_sharded_selective_filter_routes_to_exact(rng):
     d, l, v = idx.search(qs, 5, mode="auto", where=allowed)
     assert idx.counters.get("n_exact_routed", 0) == before + 64
     assert set(l[v].tolist()) <= set(allowed.tolist())
+
+
+def test_widening_cap_bounds_forced_graph_search(rng):
+    """max_widen_ef bounds the widening loop (r5: unbounded ef-doubling
+    under a 1%-selectivity forced-graph filter at 1M compiled ever-larger
+    beam programs until the TPU worker crashed; auto mode routes such
+    filters to the masked exact sweep and never widens like this)."""
+    from pg_embedding_tpu import HnswConfig, HnswIndex
+
+    pts = rng.normal(size=(2_000, 16)).astype(np.float32)
+    qs = rng.normal(size=(4, 16)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dims=16, m=6, ef_construction=24,
+                               ef_search=16))
+    idx.build(pts)
+    idx.max_widen_ef = 64
+    # allow only 3 rows: k=10 can never be satisfied, so the loop would
+    # widen to n_nodes without the cap
+    mask = np.zeros(2_000, bool)
+    mask[:3] = True
+    w0 = idx.counters["n_widenings"]
+    d, l, v = idx.search(qs, 10, mode="graph", where=mask)
+    # terminated at the cap: ef path 16 -> 32 -> 64 (2 widenings/query run)
+    assert idx.counters["n_widenings"] - w0 <= 3
+    assert v.sum(axis=1).max() <= 3          # partial valid mask, no hang
+    # surfaced rows respect the filter
+    allowed = set(np.nonzero(mask)[0].tolist())
+    for r in range(len(qs)):
+        got = set(l[r][v[r]].astype(np.int64).tolist())
+        assert got <= allowed
+    # auto mode routes the same filter to the exact sweep: full recall
+    d2, l2, v2 = idx.search(qs, 3, mode="auto", where=mask)
+    assert v2.all()
