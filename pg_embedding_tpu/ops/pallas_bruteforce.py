@@ -144,9 +144,14 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_acc, del_ref,
     # mask temporaries (every live [TILE_N, QT] value counts against the
     # 16MB scoped-VMEM stack; the fast tile shapes sit right at the edge)
     rown = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
-    dead = del_ref[:]                              # [TILE_N, 1]
-    ok = ((start + rown) < n_valid_ref[0]) & ~dead
-    s = jnp.where(ok, s, _INF)
+    # tombstone penalty arrives LANE-packed ([1, TILE_N] f32, 0 live /
+    # +inf dead — a [N, 1] column operand materializes at 128x lane
+    # padding in HBM, and XLA additionally widens bool to s32: 5.96 GB
+    # at 12.5M rows, the r5 filtered-sweep OOM); one in-VMEM reshape
+    # turns it into the [TILE_N, 1] column the row-wise add wants
+    dead_pen = del_ref[:].reshape(tile_n, 1)       # [TILE_N, 1] f32
+    ok = (start + rown) < n_valid_ref[0]
+    s = jnp.where(ok, s + dead_pen, _INF)
     scores[:] = s
 
     # tile-level early-out: skip the selection passes when this corpus tile
@@ -230,15 +235,21 @@ def _pallas_exact(queries, points, deleted, n_valid, *, k: int,
     # tiling mismatches
     qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
 
-    # deleted: a [N, 1] column in HBM pads 128x in the lane dim.  With no
-    # tombstones (del_tiled=False, the common serving/oracle case) the
-    # operand is ONE all-false (tile_n, 1) block mapped to every grid step,
-    # so the full-size column is never materialized.
+    # tombstones as a LANE-packed [n_tiles, tile_n] f32 penalty (0 live /
+    # +inf dead): a [N, 1] column pads 128x in the lane dim AND gets
+    # widened bool->s32 for Mosaic — 5.96 GB of HBM at 12.5M rows for
+    # 1.5 MB of payload (the r5 filtered-sweep OOM).  With no tombstones
+    # (del_tiled=False, the common serving/oracle case) the operand is
+    # ONE all-zero (1, tile_n) block mapped to every grid step.
+    # (the [n_tiles, 1, tile_n] shape satisfies Mosaic's block rule: the
+    # last two block dims must divide (8, 128) or equal the array dims)
     if del_tiled:
-        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
+        del_spec = pl.BlockSpec((1, 1, tile_n),
+                                lambda qi, ti, di: (ti, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (0, 0),
+        del_spec = pl.BlockSpec((1, 1, tile_n),
+                                lambda qi, ti, di: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
@@ -637,13 +648,16 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     # mask: with no tombstones a single all-false block stands in for the
     # whole column (del_tiled=False below).
     if deleted is None:
-        del_col = jnp.zeros((tile_n, 1), jnp.bool_)
+        del_col = jnp.zeros((1, 1, tile_n), jnp.float32)
         del_tiled = False
     else:
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-        del_col = deleted[:, None]
+        # lane-packed f32 penalty rows (see del_spec note): 0 live,
+        # +inf dead; [n_tiles, 1, tile_n] tiles densely (50 MB at 12.5M)
+        del_col = jnp.where(deleted, jnp.float32(jnp.inf),
+                            jnp.float32(0.0)).reshape(-1, 1, tile_n)
         del_tiled = True
     out_d, out_i = _pallas_exact(queries, points, del_col,
                                  jnp.asarray(n, jnp.int32).reshape(1),
