@@ -59,7 +59,9 @@ def main():
 
     frng = np.random.default_rng(7)
     out = {"n": idx.n_nodes}
-    for frac in (0.5, 0.25, 0.1):
+    fracs = tuple(float(x) for x in os.environ.get(
+        "F125_FRACS", "0.5,0.25,0.1").split(","))
+    for frac in fracs:
         mask = frng.random(idx.n_nodes) < frac
         log(f"--- allowed {frac:.0%} ({int(mask.sum()):,} rows) ---")
         de, le, ve = idx.search(qs, K, mode="exact", where=mask)

@@ -268,8 +268,14 @@ class HnswIndex:
         self.exact_threshold_packed = 2_700_000
         # filtered-search routing: below this allowed-fraction, auto mode
         # serves `where=` via the masked exact sweep instead of widening
-        # the graph walk (measured crossover, benchmarks/bench_filtered.py)
-        self.filter_exact_selectivity = 0.25
+        # the graph walk.  MEASURED at 12.5M x 96d (graph-served scale,
+        # benchmarks/bench_filtered125.py, BASELINE r5): the sweep's cost
+        # is selectivity-independent and beats the filtered graph at
+        # every fraction <= 50% (50%: 1,981 QPS recall 1.0 vs 1,714 at
+        # 0.9593); the graph only edges ahead around 75% allowed, and
+        # then only on QPS, never recall.  0.5 is the conservative side
+        # of the measured 0.5-0.75 crossover band.
+        self.filter_exact_selectivity = 0.5
         # widening-loop ceiling: the reference widens toward the index
         # size (embedding.c:338-343), which on host hardware just reads
         # more pages — here every doubled ef is a NEW compiled program
@@ -966,8 +972,8 @@ class HnswIndex:
         # (filtered waypoints fill beam slots without surfacing), while the
         # masked exact sweep's cost is selectivity-independent — the
         # planner-analog decision the reference makes with amcostestimate
-        # (embedding.c:393-436); threshold default pending the 1M
-        # selectivity measurement (benchmarks/bench_filtered.py)
+        # (embedding.c:393-436); threshold measured at 12.5M (BASELINE
+        # r5 filtered tables; benchmarks/bench_filtered125.py)
         selective = (excluded is not None and
                      n_allowed < self.filter_exact_selectivity
                      * max(self.n_nodes, 1))
