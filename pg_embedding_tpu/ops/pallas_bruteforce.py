@@ -144,14 +144,23 @@ def _finalize_and_select(ti, n_valid_ref, qnorm_ref, pnorm_acc, del_ref,
     # mask temporaries (every live [TILE_N, QT] value counts against the
     # 16MB scoped-VMEM stack; the fast tile shapes sit right at the edge)
     rown = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
-    # tombstone penalty arrives LANE-packed ([1, TILE_N] f32, 0 live /
-    # +inf dead — a [N, 1] column operand materializes at 128x lane
-    # padding in HBM, and XLA additionally widens bool to s32: 5.96 GB
-    # at 12.5M rows, the r5 filtered-sweep OOM); one in-VMEM reshape
-    # turns it into the [TILE_N, 1] column the row-wise add wants
-    dead_pen = del_ref[:].reshape(tile_n, 1)       # [TILE_N, 1] f32
-    ok = (start + rown) < n_valid_ref[0]
-    s = jnp.where(ok, s + dead_pen, _INF)
+    # tombstone mask arrives as an int8 [TILE_N, 1] column — already
+    # sublane-oriented, so no in-kernel transpose (a lane-packed
+    # penalty row measured 4x slower: the (1, TILE_N) -> (TILE_N, 1)
+    # reshape scalarizes in Mosaic).  int8 matters: a BOOL column is
+    # widened to s32 by the Mosaic ABI and lane-pads 128x in HBM —
+    # 5.96 GB at 12.5M rows, the r5 filtered-sweep OOM; i8 tiles
+    # (32, 128) for 1.49 GB, and zero bytes in the common no-tombstone
+    # case (del_tiled=False maps one all-zero block to every step)
+    # i8 -> f32 convert FIRST: a bool compared straight off the
+    # (32,128)-tiled i8 block needs a lane broadcast Mosaic has not
+    # implemented; after the convert the compare runs on an (8,128)
+    # f32 column and broadcasts like the row-validity mask.  Masked
+    # rows stay _INF (never admitted even into empty slots — the
+    # delete-all edge keeps returning -1 indices)
+    deadf = del_ref[:].astype(jnp.float32)         # [TILE_N, 1]
+    ok = ((start + rown) < n_valid_ref[0]) & (deadf == 0.0)
+    s = jnp.where(ok, s, _INF)
     scores[:] = s
 
     # tile-level early-out: skip the selection passes when this corpus tile
@@ -235,21 +244,19 @@ def _pallas_exact(queries, points, deleted, n_valid, *, k: int,
     # tiling mismatches
     qnorms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)[None, :]
 
-    # tombstones as a LANE-packed [n_tiles, tile_n] f32 penalty (0 live /
-    # +inf dead): a [N, 1] column pads 128x in the lane dim AND gets
-    # widened bool->s32 for Mosaic — 5.96 GB of HBM at 12.5M rows for
-    # 1.5 MB of payload (the r5 filtered-sweep OOM).  With no tombstones
-    # (del_tiled=False, the common serving/oracle case) the operand is
-    # ONE all-zero (1, tile_n) block mapped to every grid step.
-    # (the [n_tiles, 1, tile_n] shape satisfies Mosaic's block rule: the
-    # last two block dims must divide (8, 128) or equal the array dims)
+    # tombstones as an int8 [N, 1] column (see the kernel note: bool
+    # widens to s32 and lane-pads 128x — 5.96 GB at 12.5M, the r5
+    # filtered-sweep OOM; a lane-packed penalty row avoids the HBM cost
+    # but its in-kernel transpose scalarizes, measured 4x slower; i8
+    # keeps the sublane orientation at (32, 128) tiling = 1.49 GB at
+    # 12.5M).  With no tombstones (del_tiled=False, the common
+    # serving/oracle case) the operand is ONE all-zero (tile_n, 1)
+    # block mapped to every grid step — never materialized full-size.
     if del_tiled:
-        del_spec = pl.BlockSpec((1, 1, tile_n),
-                                lambda qi, ti, di: (ti, 0, 0),
+        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (ti, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        del_spec = pl.BlockSpec((1, 1, tile_n),
-                                lambda qi, ti, di: (0, 0, 0),
+        del_spec = pl.BlockSpec((tile_n, 1), lambda qi, ti, di: (0, 0),
                                 memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bruteforce_kernel, k=k, tile_n=tile_n,
@@ -648,16 +655,13 @@ def pallas_exact_search(queries, points, k: int, metric=Metric.L2,
     # mask: with no tombstones a single all-false block stands in for the
     # whole column (del_tiled=False below).
     if deleted is None:
-        del_col = jnp.zeros((1, 1, tile_n), jnp.float32)
+        del_col = jnp.zeros((tile_n, 1), jnp.int8)
         del_tiled = False
     else:
         deleted = jnp.asarray(deleted, jnp.bool_)
         if deleted.shape[0] != n_pad:
             deleted = jnp.pad(deleted, (0, n_pad - deleted.shape[0]))
-        # lane-packed f32 penalty rows (see del_spec note): 0 live,
-        # +inf dead; [n_tiles, 1, tile_n] tiles densely (50 MB at 12.5M)
-        del_col = jnp.where(deleted, jnp.float32(jnp.inf),
-                            jnp.float32(0.0)).reshape(-1, 1, tile_n)
+        del_col = deleted.astype(jnp.int8)[:, None]
         del_tiled = True
     out_d, out_i = _pallas_exact(queries, points, del_col,
                                  jnp.asarray(n, jnp.int32).reshape(1),
