@@ -269,13 +269,13 @@ class HnswIndex:
         # filtered-search routing: below this allowed-fraction, auto mode
         # serves `where=` via the masked exact sweep instead of widening
         # the graph walk.  MEASURED at 12.5M x 96d (graph-served scale,
-        # benchmarks/bench_filtered125.py, BASELINE r5): the sweep's cost
-        # is selectivity-independent and beats the filtered graph at
-        # every fraction <= 50% (50%: 1,981 QPS recall 1.0 vs 1,714 at
-        # 0.9593); the graph only edges ahead around 75% allowed, and
-        # then only on QPS, never recall.  0.5 is the conservative side
-        # of the measured 0.5-0.75 crossover band.
-        self.filter_exact_selectivity = 0.5
+        # benchmarks/bench_filtered125.py, BASELINE r5): the sweep's
+        # cost is selectivity-independent and beats the filtered graph
+        # at EVERY measured fraction <= 75%, on QPS and always on recall
+        # (75%: 1,678 @ 1.0 vs 1,557 @ 0.9593); the graph only overtakes
+        # approaching the unfiltered case.  0.75 routes every measured
+        # filtered fraction to the sweep; unfiltered stays on the graph.
+        self.filter_exact_selectivity = 0.75
         # widening-loop ceiling: the reference widens toward the index
         # size (embedding.c:338-343), which on host hardware just reads
         # more pages — here every doubled ef is a NEW compiled program

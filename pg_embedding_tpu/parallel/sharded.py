@@ -161,7 +161,7 @@ class ShardedHnswIndex:
         self.exact_threshold_packed = 2_700_000
         # filtered-search routing (see api.HnswIndex): below this allowed
         # fraction, auto mode serves `where=` via the masked exact sweep
-        self.filter_exact_selectivity = 0.5
+        self.filter_exact_selectivity = 0.75
         # widening-loop ceiling (see api.HnswIndex.max_widen_ef: every
         # doubled ef is a new compiled program; unbounded doubling under
         # an ultra-selective forced-graph filter crashed the TPU worker)
