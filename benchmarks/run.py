@@ -117,6 +117,17 @@ def run_single(name, n, data_dir=None, reps=5):
 
 
 def _streaming_qps(idx, qs, mode, reps):
+    """Streaming (pipeline-full, one final sync) throughput of the
+    device-side engine call a serving loop would issue.
+
+    The call is WARMED before the window opens: these engine-direct
+    programs are not always the ones the preceding API calls compiled
+    (e.g. api.exact_search passes deleted=None on a tombstone-free
+    index, while the serving-shaped call here passes the mask array),
+    and on the tunneled dev box a cold compile/fetch inside the timed
+    window swamps the measurement — the r5 matrix run recorded compile
+    time as "672 QPS" until this warm-up was added (bench.py has always
+    warmed; BASELINE r5)."""
     import jax.numpy as jnp
 
     qdev = jnp.asarray(qs)
@@ -126,39 +137,40 @@ def _streaming_qps(idx, qs, mode, reps):
         from pg_embedding_tpu.ops.pallas_bruteforce import pallas_exact_search
 
         use_exact = mode == "auto" and idx._use_exact(len(qs))
-        t0 = time.time()
         if use_exact:
             try:
-                for _ in range(reps):
-                    dd, _ = pallas_exact_search(
-                        qdev, idx.graph.vectors, K, idx.config.metric,
-                        n_valid=len(idx), deleted=idx.graph.deleted)
+                call = lambda: pallas_exact_search(
+                    qdev, idx.graph.vectors, K, idx.config.metric,
+                    n_valid=len(idx), deleted=idx.graph.deleted)[0]
+                np.asarray(call())          # compile outside the window
             except ValueError:  # Manhattan: jnp fallback
-                for _ in range(reps):
-                    dd, _ = exact_search(qdev, idx.graph.vectors, K,
-                                         idx.config.metric, n_valid=len(idx),
-                                         deleted=idx.graph.deleted)
+                call = lambda: exact_search(
+                    qdev, idx.graph.vectors, K, idx.config.metric,
+                    n_valid=len(idx), deleted=idx.graph.deleted)[0]
+                np.asarray(call())
         else:
-            for _ in range(reps):
-                dd, _, _ = search_graph(
-                    idx.graph, qdev, ef=idx.config.ef_search, metric_value=idx.config.metric.value,
-                    expand_width=idx.search_expand_width)
-        np.asarray(dd)
-        return reps * len(qs) / (time.time() - t0)
-    # sharded: the step functions are already device-side (they take a
-    # third per-shard `excluded` operand since the filtered-search change)
-    excl = idx._filter_to_excluded(None)
-    if mode == "auto" and idx._use_exact(len(qs)):
-        step = idx._exact_step(K)
-        t0 = time.time()
-        for _ in range(reps):
-            dd, _ = step(idx._arrays, qdev, excl)
+            call = lambda: search_graph(
+                idx.graph, qdev, ef=idx.config.ef_search,
+                metric_value=idx.config.metric.value,
+                expand_width=idx.search_expand_width)[0]
+            np.asarray(call())
     else:
-        ef = idx.config.ef_search
-        step = idx._search_step(ef, min(K, ef * idx.n_shards))
-        t0 = time.time()
-        for _ in range(reps):
-            dd, _, _ = step(idx._arrays, qdev, excl)
+        # sharded: the step functions are already device-side (they take
+        # a third per-shard `excluded` operand since the filtered-search
+        # change)
+        excl = idx._filter_to_excluded(None)
+        if mode == "auto" and idx._use_exact(len(qs)):
+            step = idx._exact_step(K)
+            call = lambda: step(idx._arrays, qdev, excl)[0]
+        else:
+            ef = idx.config.ef_search
+            step = idx._search_step(ef, min(K, ef * idx.n_shards))
+            call = lambda: step(idx._arrays, qdev, excl)[0]
+        np.asarray(call())
+    t0 = time.time()
+    dd = None
+    for _ in range(reps):
+        dd = call()
     np.asarray(dd)
     return reps * len(qs) / (time.time() - t0)
 
