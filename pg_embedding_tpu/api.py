@@ -35,7 +35,8 @@ import numpy as np
 from .config import HnswConfig, Metric
 from .core.build import (build_schedule, insert_batch_masked_donating,
                          insert_slab_donating)
-from .core.graph import GraphState, empty_graph, grow_graph, records_3d
+from .core.graph import (GraphState, empty_graph, grow_graph,
+                         pin_serving_layout, records_3d)
 from .core.search import (search_graph, search_graph_packed,
                           search_graph_quantized)
 from .ops.bruteforce import exact_search as _bruteforce
@@ -757,6 +758,24 @@ class HnswIndex:
                      127).astype(jnp.int8)
         return q, scale
 
+    def _ensure_serving_layout(self):
+        """Lazily re-pin the corpus to the row-major serving layout
+        (core/graph.pin_serving_layout) at the serve entries.
+
+        Donating insert programs emit vectors in the backend-default
+        D-major layout at unaligned D, so a mutation strips the pin;
+        re-pinning here costs ONE relayout copy per mutation->serve
+        transition instead of a whole-corpus relayout TEMP inside every
+        serve program on every call (measured r5 at 1.5M x 96d: +27%
+        graph walk / +15% sweep QPS, and -0.787 GB per-program temp —
+        5.96 GB at 12.5M).  Runs under the read lock: the swap is
+        value-identical and reference-atomic, so concurrent readers see
+        either layout correctly; duplicate re-pins are benign."""
+        g = self._graph
+        pinned = pin_serving_layout(g.vectors)
+        if pinned is not g.vectors:
+            self._graph = g._replace(vectors=pinned)
+
     def _ensure_quantized(self):
         if self._qvec is None:
             self._qvec, self._qscale = self._quantize(
@@ -960,6 +979,7 @@ class HnswIndex:
         are ascending by distance, invalid slots padded with inf/0/False.
         """
         queries = self._check_dims(queries)
+        self._ensure_serving_layout()
         b = queries.shape[0]
         if mode not in ("auto", "graph", "exact", "sweep_pq"):
             raise ValueError(f"unknown search mode: {mode!r}")
@@ -1059,6 +1079,7 @@ class HnswIndex:
         ``excluded``: optional bool[cap] device mask of additional rows to
         skip (the filtered-search pushdown)."""
         queries = self._check_dims(queries)
+        self._ensure_serving_layout()
         n = self.n_nodes
         if engine not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown exact engine: {engine!r}")
@@ -1273,8 +1294,11 @@ class HnswIndex:
         if self.storage_dtype == dtype:
             return
         self.storage_dtype = dtype
+        # re-pin after the cast (the astype output reverts to the
+        # backend-default layout at unaligned D)
         self._graph = self._graph._replace(
-            vectors=self._graph.vectors.astype(jnp.dtype(dtype)))
+            vectors=pin_serving_layout(
+                self._graph.vectors.astype(jnp.dtype(dtype))))
 
     @_read_locked
     def compact(self) -> "HnswIndex":
@@ -1497,6 +1521,11 @@ class HnswIndex:
         idx = cls(cfg, initial_capacity=max(n, 32),
                   storage_dtype=storage_dtype)
         cap = idx._graph.capacity
+        # free the constructor's placeholder graph BEFORE uploading the
+        # real arrays: holding both means two full corpora (plus the
+        # serving-layout pin's chunked-relayout transient) coexist on
+        # device — 18 GB at 12.5M x 96d, the r5 pinned-load OOM
+        idx._graph = None
         vec = np.zeros((cap, cfg.dims), np.float32)
         vec[:n] = vectors
         lnk = np.full((cap, cfg.max_m), -1, np.int32)
@@ -1505,8 +1534,20 @@ class HnswIndex:
         cnt[:n] = link_counts
         dlt = np.zeros(cap, bool)
         dlt[:n] = deleted
+        # upload the HOST array straight into the serving layout (at
+        # unaligned D the pin applies during the transfer — a device-side
+        # relayout would transiently hold dense + row-major + transpose
+        # workspace, which OOM'd the 12.5M load); non-f32 storage casts
+        # on device after a plain upload (numpy has no bf16)
+        if jnp.dtype(storage_dtype) == jnp.float32:
+            vec_dev = pin_serving_layout(vec)
+            if not isinstance(vec_dev, jax.Array):
+                vec_dev = jnp.asarray(vec_dev)
+        else:
+            vec_dev = pin_serving_layout(
+                jnp.asarray(vec, jnp.dtype(storage_dtype)))
         idx._graph = GraphState(
-            vectors=jnp.asarray(vec, jnp.dtype(storage_dtype)),
+            vectors=vec_dev,
             links=jnp.asarray(lnk),
             link_counts=jnp.asarray(cnt), deleted=jnp.asarray(dlt),
             n_nodes=jnp.int32(n))

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class GraphState(NamedTuple):
@@ -93,6 +94,88 @@ def records_3d(itemsize: int, max_m: int, dims: int) -> bool:
     return dims % 128 == 0 and max_m % _SUBLANE_TILE[itemsize] == 0
 
 
+def pin_serving_layout(vectors):
+    """Pin an unaligned-D corpus to ROW-MAJOR on TPU backends.
+
+    At D % 128 != 0, XLA's default layout for f32[N, D] is D-major —
+    dense (no lane padding), which is why a 12.5M x 96d corpus occupies
+    4.77 GB resident — but every serve kernel consumes row-major tiles,
+    so EACH serve program (graph walk and exact sweep alike) carried a
+    whole-corpus relayout copy as an HLO temp and re-paid it per call
+    (measured r5: 0.787 GB per program at 1.5M x 96d, 5.96 GB at 12.5M
+    — the reason the 12.5M serve programs ran within ~1 GB of HBM).
+
+    Pinning row-major once trades +33% resident corpus (lane padding at
+    96d) for ZERO relayout temps in every serve program, measured at
+    1.5M x 96d: graph walk 25,058 -> 31,785 QPS (+27%), exact sweep
+    14,806 -> 16,982 (+15%), results identical.  Donating insert
+    programs specialize on the pinned argument layout, so mutations
+    preserve it.  No-op at aligned D (default layout is already
+    row-major-equivalent) and off TPU (CPU layouts are row-major).
+
+    ``vectors`` may be a device array OR a host numpy array — passing
+    the HOST array uploads straight into the pinned layout, avoiding
+    the transient double-resident (dense upload + row-major copy +
+    transpose workspace) that OOM'd the 12.5M load on device."""
+    dims = vectors.shape[-1]
+    if dims % 128 == 0 or jax.default_backend() not in ("tpu", "axon"):
+        return vectors
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        nd = vectors.ndim
+        sds = SingleDeviceSharding(jax.devices()[0])
+        fmt = Format(Layout(major_to_minor=tuple(range(nd))), sds)
+        cur = getattr(vectors, "format", None)
+        if (cur is not None and
+                cur.layout.major_to_minor == tuple(range(nd))):
+            return vectors
+        # one-shot device_put stages + transposes with whole-corpus
+        # transients (measured OOM at 12.5M x 96d: dense 4.77 GB +
+        # pinned 5.96 GB + transpose scratch); past ~2 GB of padded
+        # bytes, relayout CHUNKED through a donated pinned buffer so
+        # the scratch is one chunk instead of the corpus
+        itemsize = jnp.dtype(vectors.dtype).itemsize
+        padded = (int(np.prod(vectors.shape[:-1])) *
+                  (-(-dims // 128) * 128) * itemsize)
+        if padded <= (2 << 30):
+            return jax.device_put(vectors, fmt)
+        return _pin_chunked(jnp.asarray(vectors), fmt, sds)
+    except Exception:  # pragma: no cover - layout API drift
+        return vectors
+
+
+def _pin_chunked(vectors, fmt, sds, chunk: int = 1_048_576):
+    """Relayout a large corpus into ``fmt`` with bounded scratch: a
+    layout-pinned zero buffer is built IN layout (constant fill, no
+    transpose), then chunks of the source are transposed into it
+    through one donated dynamic-update program (peak = source + pinned
+    target + one chunk; measured 2.5 s for 12.5M x 96d).  The explicit
+    in_shardings pin on the donated buffer is REQUIRED: without it jit
+    relayouts the input to the default layout first, donation fails,
+    and two whole-corpus buffers coexist (the OOM this replaced)."""
+    import functools
+
+    n = vectors.shape[0]
+    chunk = min(chunk, n)
+    out = jax.jit(lambda: jnp.zeros(vectors.shape, vectors.dtype),
+                  out_shardings=fmt)()
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       in_shardings=(fmt, sds, None), out_shardings=fmt)
+    def upd(buf, blk, start):
+        return jax.lax.dynamic_update_slice_in_dim(buf, blk, start, 0)
+
+    for lo in range(0, n, chunk):
+        # overlapping-tail trick: the clamped last chunk re-covers rows
+        # the previous one wrote, with identical values
+        start = min(lo, n - chunk)
+        out = upd(out, jax.lax.dynamic_slice_in_dim(
+            vectors, start, chunk), start)
+    return out
+
+
 def empty_graph(capacity: int, dims: int, max_m: int,
                 dtype=jnp.float32) -> GraphState:
     """Allocate an empty graph with the given capacity.
@@ -103,7 +186,7 @@ def empty_graph(capacity: int, dims: int, max_m: int,
     """
     cap = _round_capacity(capacity)
     return GraphState(
-        vectors=jnp.zeros((cap, dims), dtype),
+        vectors=pin_serving_layout(jnp.zeros((cap, dims), dtype)),
         links=jnp.full((cap, max_m), -1, jnp.int32),
         link_counts=jnp.zeros((cap,), jnp.int32),
         deleted=jnp.zeros((cap,), jnp.bool_),
@@ -120,7 +203,10 @@ def grow_graph(graph: GraphState, new_capacity: int) -> GraphState:
         return graph
     pad = cap - old
     return GraphState(
-        vectors=jnp.pad(graph.vectors, ((0, pad), (0, 0))),
+        # re-pin after the pad: the eager pad's output reverts to the
+        # backend-default (D-major) layout at unaligned D
+        vectors=pin_serving_layout(
+            jnp.pad(graph.vectors, ((0, pad), (0, 0)))),
         links=jnp.pad(graph.links, ((0, pad), (0, 0)), constant_values=-1),
         link_counts=jnp.pad(graph.link_counts, (0, pad)),
         deleted=jnp.pad(graph.deleted, (0, pad)),
